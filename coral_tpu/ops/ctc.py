@@ -1,0 +1,285 @@
+"""Connectionist Temporal Classification loss, TPU-native.
+
+The reference trains wav2vec2 through ``torch.nn.functional.ctc_loss`` (CUDA) inside
+``Wav2Vec2ForCTC``, configured with ``ctc_loss_reduction`` ("sum" by default) and
+``ctc_zero_infinity=True`` (reference: ``src/coral/wav2vec2.py:120,125``). This module
+reimplements the loss natively for XLA/TPU:
+
+- log-space alpha (forward) recursion as a ``lax.scan`` over time — a vectorised
+  (batch, 2L+1) state per step, VPU-friendly with static shapes;
+- a custom VJP whose backward runs the beta recursion and assembles
+  ``dL/d log_probs`` with a single einsum over a one-hot of the extended label
+  sequence (an MXU matmul rather than a scatter);
+- exact parity with torch semantics: per-sample ``-log p(y|x)``, reductions
+  none/sum/mean (mean divides by target length first), and ``zero_infinity``
+  (infinite losses and their gradients are zeroed).
+
+Inputs use fixed shapes with explicit lengths, as required under ``jit``: frames
+beyond ``input_lengths`` and labels beyond ``label_lengths`` are masked, not sliced.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+NEG_INF = -1e30  # large-negative stand-in for -inf that keeps arithmetic NaN-free
+
+
+def _extended_labels(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
+    """Interleave blanks: labels (B, L) -> extended (B, 2L+1).
+
+    ext[2i] = blank, ext[2i+1] = labels[i].
+    """
+    B, L = labels.shape
+    ext = jnp.full((B, 2 * L + 1), blank_id, dtype=labels.dtype)
+    return ext.at[:, 1::2].set(labels)
+
+
+def _log_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Numerically-stable log(exp(a) + exp(b)) with NEG_INF handling."""
+    mx = jnp.maximum(a, b)
+    mx_safe = jnp.maximum(mx, NEG_INF)
+    return mx_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - mx_safe))
+
+
+def _forward_alphas(
+    log_probs: jnp.ndarray,
+    ext: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int,
+):
+    """Run the alpha recursion.
+
+    Args:
+        log_probs: (T, B, V) log-softmax outputs.
+        ext: (B, S) extended labels, S = 2L+1.
+        input_lengths: (B,) valid frame counts.
+        label_lengths: (B,) valid label counts.
+
+    Returns:
+        (alphas (T, B, S), per-sample log-likelihood logp (B,)).
+    """
+    T, B, V = log_probs.shape
+    S = ext.shape[1]
+
+    # Skip transitions (s-2 -> s) are allowed where ext[s] is a non-blank that
+    # differs from ext[s-2].
+    ext_shift2 = jnp.concatenate(
+        [jnp.full((B, 2), -1, dtype=ext.dtype), ext[:, :-2]], axis=1
+    )
+    can_skip = (ext != blank_id) & (ext != ext_shift2)  # (B, S)
+
+    positions = jnp.arange(S)[None, :]  # (1, S)
+    valid_state = positions < (2 * label_lengths[:, None] + 1)  # (B, S)
+
+    # Emission scores per step: gather log_probs at the extended labels.
+    emit = jnp.take_along_axis(
+        log_probs, jnp.broadcast_to(ext[None], (T, B, S)), axis=2
+    )  # (T, B, S)
+
+    alpha0 = jnp.full((B, S), NEG_INF)
+    alpha0 = alpha0.at[:, 0].set(emit[0, :, 0])
+    alpha0 = alpha0.at[:, 1].set(
+        jnp.where(label_lengths > 0, emit[0, :, 1], NEG_INF)
+    )
+    alpha0 = jnp.where(valid_state, alpha0, NEG_INF)
+
+    def step(alpha, inputs):
+        emit_t, t = inputs
+        prev1 = jnp.concatenate([jnp.full((B, 1), NEG_INF), alpha[:, :-1]], axis=1)
+        prev2 = jnp.concatenate([jnp.full((B, 2), NEG_INF), alpha[:, :-2]], axis=1)
+        summed = _log_add(alpha, prev1)
+        summed = jnp.where(can_skip, _log_add(summed, prev2), summed)
+        new_alpha = summed + emit_t
+        new_alpha = jnp.where(valid_state, new_alpha, NEG_INF)
+        # Freeze alpha for samples whose audio ended before t.
+        active = (t < input_lengths)[:, None]
+        new_alpha = jnp.where(active, new_alpha, alpha)
+        return new_alpha, new_alpha
+
+    ts = jnp.arange(1, T)
+    _, rest = lax.scan(step, alpha0, (emit[1:], ts))
+    alphas = jnp.concatenate([alpha0[None], rest], axis=0)  # (T, B, S)
+
+    final = alphas[-1]  # (B, S) — frozen at each sample's last valid frame
+    last = 2 * label_lengths  # final blank state index
+    a_last = jnp.take_along_axis(final, last[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(
+        label_lengths > 0,
+        jnp.take_along_axis(
+            final, jnp.maximum(last - 1, 0)[:, None], axis=1
+        )[:, 0],
+        NEG_INF,
+    )
+    logp = _log_add(a_last, a_prev)  # (B,) log p(y|x)
+    return alphas, logp
+
+
+def _backward_betas(
+    log_probs: jnp.ndarray,
+    ext: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int,
+) -> jnp.ndarray:
+    """Run the beta (backward) recursion; returns betas (T, B, S).
+
+    beta_t[s] includes the emission at time t (same convention as alpha), so
+    alpha_t[s] + beta_t[s] - emit_t[s] = log p(paths through state s at time t).
+    """
+    T, B, V = log_probs.shape
+    S = ext.shape[1]
+
+    ext_shift2f = jnp.concatenate(
+        [ext[:, 2:], jnp.full((B, 2), -1, dtype=ext.dtype)], axis=1
+    )
+    can_skip_fwd = (ext != blank_id) & (ext != ext_shift2f)  # skip s -> s+2
+
+    positions = jnp.arange(S)[None, :]
+    valid_state = positions < (2 * label_lengths[:, None] + 1)
+
+    emit = jnp.take_along_axis(
+        log_probs, jnp.broadcast_to(ext[None], (T, B, S)), axis=2
+    )  # (T, B, S)
+
+    last = 2 * label_lengths  # (B,)
+    # At each sample's final frame t = input_length - 1, beta is emit at the two
+    # terminal states. The scan runs backward over global time; a sample "activates"
+    # when t reaches its own last frame.
+    is_last_state = (positions == last[:, None]) | (
+        (positions == (last - 1)[:, None]) & (label_lengths > 0)[:, None]
+    )
+
+    beta_init = jnp.full((B, S), NEG_INF)
+
+    def step(beta, inputs):
+        emit_t, t = inputs
+        next1 = jnp.concatenate([beta[:, 1:], jnp.full((B, 1), NEG_INF)], axis=1)
+        next2 = jnp.concatenate([beta[:, 2:], jnp.full((B, 2), NEG_INF)], axis=1)
+        summed = _log_add(beta, next1)
+        summed = jnp.where(can_skip_fwd, _log_add(summed, next2), summed)
+        new_beta = summed + emit_t
+
+        t_is_last = (t == input_lengths - 1)[:, None]
+        new_beta = jnp.where(t_is_last, jnp.where(is_last_state, emit_t, NEG_INF),
+                             new_beta)
+        new_beta = jnp.where(valid_state, new_beta, NEG_INF)
+        # Before a sample's last frame is reached (t >= input_length), carry NEG_INF.
+        started = (t <= input_lengths - 1)[:, None]
+        new_beta = jnp.where(started, new_beta, beta)
+        return new_beta, new_beta
+
+    ts = jnp.arange(T - 1, -1, -1)
+    _, betas_rev = lax.scan(step, beta_init, (emit[::-1], ts))
+    return betas_rev[::-1]  # (T, B, S)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _ctc_neg_log_likelihood(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int,
+) -> jnp.ndarray:
+    ext = _extended_labels(labels, blank_id)
+    _, logp = _forward_alphas(log_probs, ext, input_lengths, label_lengths, blank_id)
+    return -logp
+
+
+def _ctc_fwd(log_probs, labels, input_lengths, label_lengths, blank_id):
+    ext = _extended_labels(labels, blank_id)
+    alphas, logp = _forward_alphas(
+        log_probs, ext, input_lengths, label_lengths, blank_id
+    )
+    residuals = (log_probs, ext, input_lengths, label_lengths, alphas, logp)
+    return -logp, residuals
+
+
+def _ctc_bwd(blank_id, residuals, g):
+    log_probs, ext, input_lengths, label_lengths, alphas, logp = residuals
+    T, B, V = log_probs.shape
+    S = ext.shape[1]
+
+    betas = _backward_betas(log_probs, ext, input_lengths, label_lengths, blank_id)
+
+    emit = jnp.take_along_axis(
+        log_probs, jnp.broadcast_to(ext[None], (T, B, S)), axis=2
+    )
+    # gamma_t[s] = log p(all paths through state s at t) = alpha + beta - emit
+    gamma = alphas + betas - emit  # (T, B, S)
+
+    # d(-logP)/d log_probs[t, b, k] = -sum_{s: ext[b,s]==k} exp(gamma[t,b,s] - logP_b)
+    # Occupancy weights, NaN-free since gamma and logp are built from NEG_INF floors.
+    w = jnp.exp(jnp.clip(gamma - logp[None, :, None], max=0.0))  # (T, B, S)
+
+    # Zero out frames past each sample's length and (zero_infinity handling) samples
+    # with no feasible alignment.
+    t_mask = (jnp.arange(T)[:, None] < input_lengths[None, :])  # (T, B)
+    finite = (-logp) < -NEG_INF / 2  # (B,) feasible alignments
+    w = w * (t_mask & finite[None, :])[..., None]
+
+    # Scatter into vocab via one-hot einsum: (B,S,V) x (T,B,S) -> (T,B,V). This is a
+    # batched (T,S)@(S,V) matmul — MXU work instead of a serial scatter.
+    onehot = jax.nn.one_hot(ext, V, dtype=w.dtype)  # (B, S, V)
+    # HIGHEST precision: this matmul carries the gradient, and the MXU's default
+    # bf16 pass would quantise it.
+    grad = -jnp.einsum(
+        "tbs,bsv->tbv", w, onehot, precision=lax.Precision.HIGHEST
+    )
+
+    grad = grad * g[None, :, None]
+    return grad, None, None, None
+
+
+_ctc_neg_log_likelihood.defvjp(_ctc_fwd, _ctc_bwd)
+
+
+def ctc_loss(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    input_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank_id: int = 0,
+    reduction: str = "sum",
+    zero_infinity: bool = True,
+) -> jnp.ndarray:
+    """CTC loss with torch-compatible semantics.
+
+    Args:
+        log_probs: (T, B, V) log-softmax over the vocabulary per frame.
+        labels: (B, L) label ids, padded arbitrarily past ``label_lengths``
+            (padding ids are masked, -100 is accepted).
+        input_lengths: (B,) number of valid frames per sample.
+        label_lengths: (B,) number of valid labels per sample.
+        blank_id: CTC blank id (the pad token for wav2vec2).
+        reduction: "none" | "sum" | "mean". "mean" divides each sample's loss by its
+            target length before averaging over the batch (torch semantics).
+        zero_infinity: Replace infinite losses (infeasible alignments) and their
+            gradients with zero (reference: ``ctc_zero_infinity=True``).
+
+    Returns:
+        () scalar loss for sum/mean, or (B,) for reduction="none".
+    """
+    labels = jnp.where(labels < 0, 0, labels)  # sanitise -100 padding
+    per_sample = _ctc_neg_log_likelihood(
+        log_probs, labels, input_lengths, label_lengths, blank_id
+    )
+
+    if zero_infinity:
+        feasible = per_sample < -NEG_INF / 2
+        per_sample = jnp.where(feasible, per_sample, 0.0)
+
+    if reduction == "none":
+        return per_sample
+    if reduction == "sum":
+        return jnp.sum(per_sample)
+    if reduction == "mean":
+        denom = jnp.maximum(label_lengths, 1).astype(per_sample.dtype)
+        return jnp.mean(per_sample / denom)
+    raise ValueError(f"Unknown reduction: {reduction!r}")
