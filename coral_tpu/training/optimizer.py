@@ -1,0 +1,55 @@
+"""Optimizer and LR schedule.
+
+Matches the reference's optimisation setup (reference:
+``src/coral/wav2vec2.py:216-240``, ``config/asr_finetuning.yaml``): AdamW with
+configurable betas (default 0.9/0.98), linear warmup followed by cosine decay to
+zero over ``max_steps``, and global-norm gradient clipping.
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def create_learning_rate_schedule(
+    learning_rate: float, warmup_steps: int, max_steps: int
+) -> optax.Schedule:
+    """Linear warmup to ``learning_rate``, cosine decay to 0 at ``max_steps``."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=learning_rate,
+        warmup_steps=warmup_steps,
+        decay_steps=max_steps,
+        end_value=0.0,
+    )
+
+
+def create_optimizer(
+    learning_rate: float,
+    warmup_steps: int,
+    max_steps: int,
+    adam_beta1: float = 0.9,
+    adam_beta2: float = 0.98,
+    adam_eps: float = 1e-8,
+    weight_decay: float = 0.0,
+    max_grad_norm: float | None = 1.0,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Build the training optimizer.
+
+    Returns:
+        (optimizer, schedule) — the schedule is exposed for logging.
+    """
+    schedule = create_learning_rate_schedule(learning_rate, warmup_steps, max_steps)
+    chain = []
+    if max_grad_norm is not None:
+        chain.append(optax.clip_by_global_norm(max_grad_norm))
+    chain.append(
+        optax.adamw(
+            learning_rate=schedule,
+            b1=adam_beta1,
+            b2=adam_beta2,
+            eps=adam_eps,
+            weight_decay=weight_decay,
+        )
+    )
+    return optax.chain(*chain), schedule

@@ -1,0 +1,142 @@
+"""Train state and the sharded CTC train step.
+
+Replaces the reference's HF ``Trainer`` + DeepSpeed hot loop (reference:
+``src/coral/finetune.py:60-79``, ``makefile:80-93``) with a single jitted function
+over a device mesh:
+
+- the global batch is sharded over the "data" mesh axis; XLA inserts the gradient
+  allreduce (psum over ICI) during the backward pass;
+- gradient accumulation runs as a ``lax.scan`` over leading-microbatch-axis inside
+  the step, so one dispatch covers the full optimiser step;
+- optimizer state may be ZeRO-sharded over the data axis via ``zero_shardings``;
+- loss scale matches the reference: CTC "sum" per microbatch, averaged over
+  devices and accumulation steps (the DDP-mean x grad-accum-divide semantics of
+  the HF Trainer).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    """Carried training state (a pytree; jit-donatable)."""
+
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, tx: optax.GradientTransformation) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+        )
+
+
+def make_ctc_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    schedule,
+    blank_id: int,
+    ctc_loss_reduction: str = "sum",
+    freeze_feature_encoder: bool = False,
+) -> Callable:
+    """Build the train step for a CTC model.
+
+    The returned function has signature
+    ``(state, batch, rng) -> (state, metrics)`` where ``batch`` contains
+    ``input_values (A, B, T)``, ``input_lengths (A, B)``, ``labels (A, B, L)``,
+    ``label_lengths (A, B)`` with A = gradient-accumulation microbatches. Shard the
+    B axis over the data mesh axis.
+    """
+    from ..ops import ctc_loss
+
+    def microbatch_loss(params, mb, dropout_rng, spec_rng):
+        logits, frame_lengths = model.apply(
+            {"params": params},
+            mb["input_values"],
+            mb["input_lengths"],
+            deterministic=False,
+            freeze_feature_encoder=freeze_feature_encoder,
+            rngs={"dropout": dropout_rng, "spec_augment": spec_rng},
+        )
+        log_probs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        # (B, T, V) -> (T, B, V) for the CTC recursion
+        loss = ctc_loss(
+            jnp.transpose(log_probs, (1, 0, 2)),
+            mb["labels"],
+            frame_lengths,
+            mb["label_lengths"],
+            blank_id=blank_id,
+            reduction=ctc_loss_reduction,
+            zero_infinity=True,
+        )
+        if ctc_loss_reduction == "sum":
+            # HF Trainer semantics: DDP mean over devices == global sum / n_dev;
+            # written globally that is sum over the global batch / batch size *
+            # per-device batch. We keep the per-sample scale stable by dividing by
+            # the microbatch size (equivalent dynamics, size-independent logs).
+            loss = loss / mb["labels"].shape[0]
+        return loss
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        num_micro = batch["input_values"].shape[0]
+        rngs = jax.random.split(rng, 2 * num_micro).reshape(num_micro, 2, 2)
+
+        grad_fn = jax.value_and_grad(microbatch_loss)
+
+        def accum_step(carry, inputs):
+            loss_sum, grad_sum = carry
+            mb, step_rngs = inputs
+            loss, grads = grad_fn(
+                state.params, mb, step_rngs[0], step_rngs[1]
+            )
+            return (
+                loss_sum + loss,
+                jax.tree.map(jnp.add, grad_sum, grads),
+            ), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
+        )
+        loss = loss_sum / num_micro
+        grads = jax.tree.map(lambda g: g / num_micro, grad_sum)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "learning_rate": schedule(state.step),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_ctc_eval_step(model) -> Callable:
+    """Build the eval forward: returns greedy argmax ids and frame lengths."""
+
+    def eval_step(params, batch):
+        logits, frame_lengths = model.apply(
+            {"params": params},
+            batch["input_values"],
+            batch["input_lengths"],
+            deterministic=True,
+        )
+        pred_ids = jnp.argmax(logits, axis=-1)  # (B, T')
+        return pred_ids, frame_lengths
+
+    return eval_step
