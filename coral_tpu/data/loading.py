@@ -1,0 +1,219 @@
+"""Dataset loading for fine-tuning and evaluation.
+
+Mirrors the reference's source handling (reference: ``src/coral/data.py:93-339``):
+local arrow datasets, HF Hub (streaming) datasets, probability-weighted interleaving
+of multiple sources, filtering, seeded shuffling, and per-example processing — but
+organised as restartable host iterators feeding the bucketed device pipeline, with
+all DSP moved on-device. Additionally supports ``synthetic://N`` dataset ids so the
+whole stack runs without network egress (tests, offline dev).
+
+Split naming matches the reference: ``train`` plus ``val_{id}[_{subset}]``
+(reference: ``src/coral/data.py:333-337``).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from functools import partial
+from pathlib import Path
+from typing import Any, Callable, Iterable, Iterator
+
+from .interleave import interleave_iterables
+from .processing import filter_example, process_example
+from .synthetic import make_synthetic_examples
+
+logger = logging.getLogger(__package__)
+
+SourceFactory = Callable[[], Iterable[dict]]
+
+
+def is_main_process() -> bool:
+    """Rank-0 detection (reference: src/coral/data.py:113)."""
+    return os.getenv("RANK", "0") == "0"
+
+
+def _rename_columns(example: dict, text_column: str, audio_column: str) -> dict:
+    out = dict(example)
+    if text_column != "text" and text_column in out:
+        out["text"] = out.pop(text_column)
+    if audio_column != "audio" and audio_column in out:
+        out["audio"] = out.pop(audio_column)
+    return out
+
+
+def make_raw_source(
+    dataset_id: str,
+    subset: str | None,
+    split: str,
+    streaming: bool = True,
+    cache_dir: str | None = None,
+    seed: int = 0,
+) -> SourceFactory:
+    """Create a restartable raw-example source for one dataset.
+
+    Supports ``synthetic://N`` ids, local arrow paths, and HF Hub ids.
+    """
+    if dataset_id.startswith("synthetic://"):
+        n = int(dataset_id.split("://")[1])
+
+        def synthetic_factory() -> Iterable[dict]:
+            return make_synthetic_examples(n=n, seed=seed)
+
+        return synthetic_factory
+
+    if Path(dataset_id).exists():
+
+        def local_factory() -> Iterable[dict]:
+            import datasets as hfds
+
+            path = Path(dataset_id)
+            split_path = path / split
+            if (split_path / "dataset_info.json").exists() or (
+                split_path / "state.json"
+            ).exists():
+                ds = hfds.Dataset.load_from_disk(str(split_path))
+            elif (path / "dataset_info.json").exists() or (
+                path / "state.json"
+            ).exists():
+                ds = hfds.Dataset.load_from_disk(str(path))
+            else:
+                ds = hfds.load_dataset(
+                    str(path), name=subset, split=split, cache_dir=cache_dir
+                )
+            return iter(ds.shuffle(seed=seed))
+
+        return local_factory
+
+    def hub_factory() -> Iterable[dict]:
+        import datasets as hfds
+
+        ds = hfds.load_dataset(
+            path=dataset_id,
+            name=subset,
+            split=split,
+            streaming=streaming,
+            cache_dir=cache_dir,
+            token=os.getenv("HUGGINGFACE_HUB_TOKEN", True),
+        )
+        if streaming:
+            ds = ds.shuffle(seed=seed, buffer_size=1000)
+        else:
+            ds = ds.shuffle(seed=seed)
+        return iter(ds)
+
+    return hub_factory
+
+
+def make_processed_source(
+    dataset_config: Any,
+    split: str,
+    config: Any,
+    tokenizer,
+    lower_case: bool,
+    characters_to_keep: str | None,
+    convert_numerals: bool = False,
+    seed: int = 0,
+) -> SourceFactory:
+    """Raw source -> renamed -> filtered -> processed example stream."""
+    raw = make_raw_source(
+        dataset_config.id,
+        dataset_config.get("subset"),
+        split,
+        streaming=config.get("streaming", True),
+        cache_dir=config.get("cache_dir"),
+        seed=seed,
+    )
+    text_col = dataset_config.get("text_column", "text")
+    audio_col = dataset_config.get("audio_column", "audio")
+    should_filter = dataset_config.get("filter_dataset", True)
+
+    proc = partial(
+        process_example,
+        characters_to_keep=characters_to_keep,
+        text_column="text",
+        audio_column="audio",
+        lower_case=lower_case,
+        convert_numerals=convert_numerals,
+        tokenizer=tokenizer,
+        target_sample_rate=config.model.sampling_rate,
+    )
+
+    def factory() -> Iterator[dict]:
+        for example in raw():
+            example = _rename_columns(example, text_col, audio_col)
+            if should_filter and not filter_example(
+                example,
+                audio_column="audio",
+                text_column="text",
+                min_seconds_per_example=config.min_seconds_per_example,
+                max_seconds_per_example=config.max_seconds_per_example,
+            ):
+                continue
+            yield proc(example)
+
+    return factory
+
+
+def load_data_for_finetuning(config: Any, tokenizer) -> dict[str, SourceFactory]:
+    """Build the train stream (+ val streams) for fine-tuning.
+
+    Returns:
+        Mapping of split name -> restartable processed-example factory; split
+        names match the reference (``train``, ``val_...``).
+    """
+    train_sources: list[SourceFactory] = []
+    for name, dataset_config in config.datasets.items():
+        if is_main_process():
+            logger.info(f"Loading dataset {name!r}")
+        train_sources.append(
+            make_processed_source(
+                dataset_config,
+                dataset_config.get("train_name", "train"),
+                config,
+                tokenizer,
+                lower_case=config.model.lower_case,
+                characters_to_keep=config.model.characters_to_keep,
+                convert_numerals=False,
+                seed=config.seed,
+            )
+        )
+    assert len(train_sources) > 0, "No datasets were loaded"
+
+    probabilities = config.get("dataset_probabilities")
+    if probabilities is not None:
+        probabilities = list(probabilities)
+        if abs(sum(probabilities) - 1.0) > 1e-6:
+            raise ValueError(
+                f"Dataset probabilities must sum to 1, but sum to {sum(probabilities)}"
+            )
+    elif len(train_sources) > 1 and is_main_process():
+        logger.warning(
+            "No dataset probabilities were specified for the training split; "
+            "datasets will be sampled equally often, oversampling the smaller ones."
+        )
+
+    def train_factory() -> Iterable[dict]:
+        return interleave_iterables(
+            train_sources, probabilities=probabilities, seed=config.seed,
+            stopping_strategy="all_exhausted",
+        )
+
+    splits: dict[str, SourceFactory] = {"train": train_factory}
+
+    for ds_cfg in config.get("evaluation_datasets") or []:
+        split_name = f"val_{ds_cfg['id'].split('/')[-1].lower().replace('-', '_')}"
+        if ds_cfg.get("subset"):
+            split_name += f"_{ds_cfg['subset'].lower().replace('-', '_')}"
+        splits[split_name] = make_processed_source(
+            ds_cfg,
+            ds_cfg.get("val_name", "val"),
+            config,
+            tokenizer,
+            lower_case=config.evaluation_lower_case,
+            characters_to_keep=config.evaluation_characters_to_keep,
+            convert_numerals=False,
+            seed=config.seed,
+        )
+
+    return splits

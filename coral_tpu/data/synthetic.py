@@ -1,0 +1,57 @@
+"""Synthetic audio datasets for tests and offline development.
+
+The reference's test suite streams a tiny real dataset from the HF Hub
+(``alexandrainst/audio_test_dataset``, reference: ``tests/conftest.py:66-84``).
+This environment has no network egress, so tests use synthetic speech-shaped audio
+(harmonic tones + noise) with Danish transcripts instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+DANISH_SENTENCES = [
+    "min fortræffelige lille nattergal",
+    "jeg venter grumme meget af den",
+    "men hendes vilje var fast som hendes tillid til vorherre",
+    "her er kommet gode klæder at slide for de fire børn",
+    "hver rose på træet i haven havde sin historie",
+    "det var en dejlig dag i skoven",
+    "solen skinnede over den lille by",
+    "børnene legede på den grønne eng",
+]
+
+
+def synth_audio(rng: np.random.Generator, seconds: float, sr: int = 16_000):
+    """Generate a speech-shaped waveform: a few gliding harmonics + pink-ish noise."""
+    t = np.arange(int(seconds * sr)) / sr
+    f0 = rng.uniform(90, 250)
+    audio = np.zeros_like(t, dtype=np.float32)
+    for h in range(1, 4):
+        glide = 1.0 + 0.1 * np.sin(2 * np.pi * rng.uniform(0.5, 2.0) * t)
+        audio += (0.5 / h) * np.sin(2 * np.pi * f0 * h * glide * t).astype(np.float32)
+    audio += 0.05 * rng.standard_normal(len(t)).astype(np.float32)
+    envelope = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(1, 3) * t)).astype(np.float32)
+    return (audio * envelope * 0.3).astype(np.float32)
+
+
+def make_synthetic_examples(
+    n: int = 8, seed: int = 0, sr: int = 16_000,
+    min_seconds: float = 1.5, max_seconds: float = 5.0,
+    text_column: str = "text",
+) -> list[dict]:
+    """Build raw examples shaped like HF audio datasets rows."""
+    rng = np.random.default_rng(seed)
+    examples = []
+    for i in range(n):
+        seconds = float(rng.uniform(min_seconds, max_seconds))
+        examples.append(
+            {
+                "audio": {
+                    "array": synth_audio(rng, seconds, sr),
+                    "sampling_rate": sr,
+                },
+                text_column: DANISH_SENTENCES[i % len(DANISH_SENTENCES)],
+            }
+        )
+    return examples
