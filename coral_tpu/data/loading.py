@@ -217,3 +217,93 @@ def load_data_for_finetuning(config: Any, tokenizer) -> dict[str, SourceFactory]
         )
 
     return splits
+
+
+def interpret_dataset_name(dataset_name: str) -> tuple[str, str | None, str | None]:
+    """Parse the ``id::subset@revision`` grammar (reference: utils.py:176-232)."""
+    dataset_id = dataset_name
+    dataset_subset = None
+    dataset_revision = None
+    if "@" in dataset_id:
+        dataset_id, dataset_revision = dataset_id.split("@", 1)
+    if "::" in dataset_id:
+        dataset_id, dataset_subset = dataset_id.split("::", 1)
+    return dataset_id, dataset_subset, dataset_revision
+
+
+def load_dataset_for_evaluation(config: Any) -> SourceFactory:
+    """Build the evaluation-split example stream (reference: data.py:342-417).
+
+    Filtering bounds and text processing come from the evaluation config;
+    numerals are converted to words and metadata columns are kept for the
+    demographic score breakdown. Real Hub datasets are materialised to a disk
+    cache under ``cache_dir/test-sets`` on first use, like the reference.
+    """
+    dataset_id, subset, revision = interpret_dataset_name(config.dataset)
+    text_col = config.get("text_column", "text")
+    audio_col = config.get("audio_column", "audio")
+
+    proc = partial(
+        process_example,
+        characters_to_keep=config.characters_to_keep,
+        text_column="text",
+        audio_column="audio",
+        lower_case=config.lower_case,
+        convert_numerals=True,
+        tokenizer=None,
+        target_sample_rate=config.sampling_rate,
+    )
+
+    def postprocess(stream: Iterable[dict]) -> Iterator[dict]:
+        for example in stream:
+            example = _rename_columns(example, text_col, audio_col)
+            if not filter_example(
+                example,
+                audio_column="audio",
+                text_column="text",
+                min_seconds_per_example=config.min_seconds_per_example,
+                max_seconds_per_example=config.max_seconds_per_example,
+            ):
+                continue
+            out = proc(example)
+            out.pop("audio", None)  # resampled copy lives in "audio_array"
+            yield out
+
+    if dataset_id.startswith("synthetic://"):
+        n = int(dataset_id.split("://")[1])
+
+        def synthetic_factory() -> Iterator[dict]:
+            return postprocess(make_synthetic_examples(n=n, seed=0))
+
+        return synthetic_factory
+
+    cache_path = None
+    if config.get("cache_dir"):
+        cache_path = (
+            Path(config.cache_dir) / "test-sets" / dataset_id.replace("/", "--")
+        )
+
+    def hub_factory() -> Iterator[dict]:
+        import datasets as hfds
+
+        if cache_path is not None and cache_path.exists():
+            ds = hfds.Dataset.load_from_disk(str(cache_path))
+            yield from iter(ds)
+            return
+        ds = hfds.load_dataset(
+            path=dataset_id,
+            name=subset,
+            split=config.get("eval_split_name", "test"),
+            revision=revision,
+            streaming=True,
+            token=os.getenv("HUGGINGFACE_HUB_TOKEN", True),
+        )
+        rows = list(postprocess(ds))
+        if cache_path is not None:
+            cache_path.parent.mkdir(parents=True, exist_ok=True)
+            hfds.Dataset.from_list(rows).save_to_disk(str(cache_path))
+        yield from rows
+
+    if cache_path is not None and cache_path.exists():
+        return hub_factory
+    return lambda: hub_factory()

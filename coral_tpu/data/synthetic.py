@@ -42,6 +42,7 @@ def make_synthetic_examples(
 ) -> list[dict]:
     """Build raw examples shaped like HF audio datasets rows."""
     rng = np.random.default_rng(seed)
+    dialects = ["vestjysk", "østjysk", "sjællandsk", "fynsk"]
     examples = []
     for i in range(n):
         seconds = float(rng.uniform(min_seconds, max_seconds))
@@ -52,6 +53,12 @@ def make_synthetic_examples(
                     "sampling_rate": sr,
                 },
                 text_column: DANISH_SENTENCES[i % len(DANISH_SENTENCES)],
+                # demographic metadata shaped like coral-v3 rows, so the
+                # evaluation breakdown path is testable offline
+                "age": int(rng.integers(18, 80)),
+                "gender": ["female", "male"][i % 2],
+                "dialect": dialects[i % len(dialects)],
+                "country_birth": "DK" if i % 4 else None,
             }
         )
     return examples

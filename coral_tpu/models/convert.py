@@ -149,3 +149,68 @@ def load_torch_state_dict(path: str | Path) -> dict:
     import torch
 
     return torch.load(str(path), map_location="cpu", weights_only=True)
+
+
+def whisper_params_from_torch(state_dict: Mapping[str, Any], config) -> dict:
+    """Convert an HF ``WhisperForConditionalGeneration`` state_dict to our params.
+
+    Per-layer tensors are stacked along a leading (L,) axis for the scanned
+    encoder/decoder (``coral_tpu.models.whisper``).
+    """
+    sd = state_dict
+
+    def attn(prefix: str) -> dict:
+        out = {
+            "q_proj": _dense(sd, f"{prefix}.q_proj"),
+            "k_proj": {"kernel": _np(sd[f"{prefix}.k_proj.weight"]).T},
+            "v_proj": _dense(sd, f"{prefix}.v_proj"),
+            "out_proj": _dense(sd, f"{prefix}.out_proj"),
+        }
+        return out
+
+    def enc_layer(i: int) -> dict:
+        p = f"model.encoder.layers.{i}"
+        return {
+            "self_attn": attn(f"{p}.self_attn"),
+            "self_attn_layer_norm": _layer_norm(sd, f"{p}.self_attn_layer_norm"),
+            "fc1": _dense(sd, f"{p}.fc1"),
+            "fc2": _dense(sd, f"{p}.fc2"),
+            "final_layer_norm": _layer_norm(sd, f"{p}.final_layer_norm"),
+        }
+
+    def dec_layer(i: int) -> dict:
+        p = f"model.decoder.layers.{i}"
+        return {
+            "self_attn": attn(f"{p}.self_attn"),
+            "self_attn_layer_norm": _layer_norm(sd, f"{p}.self_attn_layer_norm"),
+            "encoder_attn": attn(f"{p}.encoder_attn"),
+            "encoder_attn_layer_norm": _layer_norm(
+                sd, f"{p}.encoder_attn_layer_norm"
+            ),
+            "fc1": _dense(sd, f"{p}.fc1"),
+            "fc2": _dense(sd, f"{p}.fc2"),
+            "final_layer_norm": _layer_norm(sd, f"{p}.final_layer_norm"),
+        }
+
+    return {
+        "encoder": {
+            # torch Conv1d weight (C_out, C_in, K) -> (K, C_in, C_out)
+            "conv1": {
+                "kernel": _np(sd["model.encoder.conv1.weight"]).transpose(2, 1, 0),
+                "bias": _np(sd["model.encoder.conv1.bias"]),
+            },
+            "conv2": {
+                "kernel": _np(sd["model.encoder.conv2.weight"]).transpose(2, 1, 0),
+                "bias": _np(sd["model.encoder.conv2.bias"]),
+            },
+            "embed_positions": _np(sd["model.encoder.embed_positions.weight"]),
+            "layers": _stack([enc_layer(i) for i in range(config.encoder_layers)]),
+            "layer_norm": _layer_norm(sd, "model.encoder.layer_norm"),
+        },
+        "decoder": {
+            "embed_tokens": _np(sd["model.decoder.embed_tokens.weight"]),
+            "embed_positions": _np(sd["model.decoder.embed_positions.weight"]),
+            "layers": _stack([dec_layer(i) for i in range(config.decoder_layers)]),
+            "layer_norm": _layer_norm(sd, "model.decoder.layer_norm"),
+        },
+    }

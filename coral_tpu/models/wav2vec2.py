@@ -84,11 +84,17 @@ class Wav2Vec2Config:
 
     @classmethod
     def tiny(cls, vocab_size: int = 46, **kw) -> "Wav2Vec2Config":
-        """A tiny config for tests."""
+        """A tiny config for tests.
+
+        The conv strides keep the production 320x downsampling ratio — a
+        smaller ratio floods the CTC recursion with 30x more frames and makes
+        CPU-hosted tests crawl.
+        """
         return cls(
             vocab_size=vocab_size, hidden_size=32, num_hidden_layers=2,
             num_attention_heads=2, intermediate_size=64,
-            conv_dim=(16, 16), conv_stride=(5, 2), conv_kernel=(10, 3),
+            conv_dim=(16, 16, 16, 16), conv_stride=(5, 4, 4, 4),
+            conv_kernel=(10, 3, 3, 3),
             num_conv_pos_embeddings=16, num_conv_pos_embedding_groups=2, **kw,
         )
 

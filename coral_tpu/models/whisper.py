@@ -1,0 +1,603 @@
+"""Whisper encoder-decoder, TPU-native functional JAX implementation.
+
+The reference fine-tunes HF ``WhisperForConditionalGeneration`` checkpoints
+(reference: ``src/coral/whisper.py:67-126``, ``config/model/whisper-*.yaml``).
+This is a ground-up implementation of the same architecture designed for XLA:
+
+- parameters live in an explicit pytree with per-layer tensors stacked along a
+  leading (L, ...) axis; every layer stack runs as ONE compiled layer body under
+  ``jax.lax.scan`` (optionally ``jax.checkpoint``-rematerialised);
+- attention uses ``jax.nn.dot_product_attention`` so XLA picks a fused kernel;
+- greedy/beam generation runs entirely under jit as a ``lax.scan`` over positions
+  with a functional KV-cache (no Python autoregressive loop, no host round-trips);
+- the log-mel frontend (``coral_tpu.audio.mel``) fuses into the encoder's first
+  matmuls on device.
+
+The pure-function style (rather than flax linen) is deliberate: the decode step
+and the training step share one parameter tree with no module-name plumbing, which
+keeps the KV-cache scan simple and fully donatable. Weight layout mirrors the HF
+module tree so ``coral_tpu.models.convert.whisper_params_from_torch`` maps
+published checkpoints 1:1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class WhisperConfig:
+    """Architecture hyperparameters (defaults = whisper-tiny)."""
+
+    vocab_size: int = 51_865
+    num_mel_bins: int = 80
+    d_model: int = 384
+    encoder_layers: int = 4
+    encoder_attention_heads: int = 6
+    decoder_layers: int = 4
+    decoder_attention_heads: int = 6
+    ffn_dim: int = 1536
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+    # Dropouts (reference config surface: config/model/whisper-*.yaml)
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.1
+    # SpecAugment on the mel features (reference: src/coral/whisper.py:78-82)
+    apply_spec_augment: bool = True
+    mask_time_prob: float = 0.5
+    mask_time_length: int = 10
+    mask_feature_prob: float = 0.5
+    mask_feature_length: int = 64
+    dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.encoder_attention_heads
+
+    # Checkpoint families (HF config.json values for openai/whisper-*)
+    @classmethod
+    def tiny(cls, **kw) -> "WhisperConfig":
+        return cls(**kw)
+
+    @classmethod
+    def base(cls, **kw) -> "WhisperConfig":
+        return cls(
+            d_model=512, encoder_layers=6, decoder_layers=6,
+            encoder_attention_heads=8, decoder_attention_heads=8,
+            ffn_dim=2048, **kw,
+        )
+
+    @classmethod
+    def small(cls, **kw) -> "WhisperConfig":
+        return cls(
+            d_model=768, encoder_layers=12, decoder_layers=12,
+            encoder_attention_heads=12, decoder_attention_heads=12,
+            ffn_dim=3072, **kw,
+        )
+
+    @classmethod
+    def medium(cls, **kw) -> "WhisperConfig":
+        return cls(
+            d_model=1024, encoder_layers=24, decoder_layers=24,
+            encoder_attention_heads=16, decoder_attention_heads=16,
+            ffn_dim=4096, **kw,
+        )
+
+    @classmethod
+    def large_v2(cls, **kw) -> "WhisperConfig":
+        return cls(
+            d_model=1280, encoder_layers=32, decoder_layers=32,
+            encoder_attention_heads=20, decoder_attention_heads=20,
+            ffn_dim=5120, **kw,
+        )
+
+    @classmethod
+    def large_v3(cls, **kw) -> "WhisperConfig":
+        return cls(
+            vocab_size=51_866, num_mel_bins=128,
+            d_model=1280, encoder_layers=32, decoder_layers=32,
+            encoder_attention_heads=20, decoder_attention_heads=20,
+            ffn_dim=5120, **kw,
+        )
+
+    @classmethod
+    def large_v3_turbo(cls, **kw) -> "WhisperConfig":
+        return cls(
+            vocab_size=51_866, num_mel_bins=128,
+            d_model=1280, encoder_layers=32, decoder_layers=4,
+            encoder_attention_heads=20, decoder_attention_heads=20,
+            ffn_dim=5120, **kw,
+        )
+
+    @classmethod
+    def tiny_test(cls, vocab_size: int = 300, **kw) -> "WhisperConfig":
+        """A tiny config for tests."""
+        return cls(
+            vocab_size=vocab_size, d_model=32, encoder_layers=2, decoder_layers=2,
+            encoder_attention_heads=2, decoder_attention_heads=2, ffn_dim=64,
+            max_target_positions=64, **kw,
+        )
+
+
+# --------------------------------------------------------------------------------
+# Parameter initialisation
+# --------------------------------------------------------------------------------
+
+
+def sinusoidal_positions(length: int, dim: int) -> np.ndarray:
+    """Whisper's sinusoid table: [sin | cos] concatenated along features."""
+    log_timescale = np.log(10_000.0) / (dim // 2 - 1)
+    inv_timescales = np.exp(-log_timescale * np.arange(dim // 2))
+    scaled = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(
+        np.float32
+    )
+
+
+def _dense_init(rng, in_dim: int, out_dim: int, bias: bool = True) -> dict:
+    k = jax.nn.initializers.lecun_normal()(rng, (in_dim, out_dim), jnp.float32)
+    p = {"kernel": k}
+    if bias:
+        p["bias"] = jnp.zeros((out_dim,), jnp.float32)
+    return p
+
+
+def _ln_init(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def _attn_init(rng, d: int) -> dict:
+    ks = jax.random.split(rng, 4)
+    return {
+        "q_proj": _dense_init(ks[0], d, d),
+        "k_proj": _dense_init(ks[1], d, d, bias=False),
+        "v_proj": _dense_init(ks[2], d, d),
+        "out_proj": _dense_init(ks[3], d, d),
+    }
+
+
+def _stack_layers(rng, n_layers: int, make_layer) -> dict:
+    layers = [make_layer(k) for k in jax.random.split(rng, n_layers)]
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *layers)
+
+
+def init_whisper_params(rng: jax.Array, config: WhisperConfig) -> dict:
+    """Random-init parameter tree (HF-like layout, stacked layers)."""
+    d, ffn = config.d_model, config.ffn_dim
+    r = jax.random.split(rng, 8)
+
+    def enc_layer(k):
+        ks = jax.random.split(k, 3)
+        return {
+            "self_attn": _attn_init(ks[0], d),
+            "self_attn_layer_norm": _ln_init(d),
+            "fc1": _dense_init(ks[1], d, ffn),
+            "fc2": _dense_init(ks[2], ffn, d),
+            "final_layer_norm": _ln_init(d),
+        }
+
+    def dec_layer(k):
+        ks = jax.random.split(k, 4)
+        return {
+            "self_attn": _attn_init(ks[0], d),
+            "self_attn_layer_norm": _ln_init(d),
+            "encoder_attn": _attn_init(ks[1], d),
+            "encoder_attn_layer_norm": _ln_init(d),
+            "fc1": _dense_init(ks[2], d, ffn),
+            "fc2": _dense_init(ks[3], ffn, d),
+            "final_layer_norm": _ln_init(d),
+        }
+
+    conv1 = jax.nn.initializers.lecun_normal()(
+        r[0], (3, config.num_mel_bins, d), jnp.float32
+    )
+    conv2 = jax.nn.initializers.lecun_normal()(r[1], (3, d, d), jnp.float32)
+    return {
+        "encoder": {
+            "conv1": {"kernel": conv1, "bias": jnp.zeros((d,), jnp.float32)},
+            "conv2": {"kernel": conv2, "bias": jnp.zeros((d,), jnp.float32)},
+            "embed_positions": jnp.asarray(
+                sinusoidal_positions(config.max_source_positions, d)
+            ),
+            "layers": _stack_layers(r[2], config.encoder_layers, enc_layer),
+            "layer_norm": _ln_init(d),
+        },
+        "decoder": {
+            "embed_tokens": jax.random.normal(
+                r[3], (config.vocab_size, d), jnp.float32
+            ) * 0.02,
+            "embed_positions": jax.random.normal(
+                r[4], (config.max_target_positions, d), jnp.float32
+            ) * 0.02,
+            "layers": _stack_layers(r[5], config.decoder_layers, dec_layer),
+            "layer_norm": _ln_init(d),
+        },
+    }
+
+
+# --------------------------------------------------------------------------------
+# Primitive ops
+# --------------------------------------------------------------------------------
+
+
+def _dense(p: dict, x: jnp.ndarray, dtype) -> jnp.ndarray:
+    out = x.astype(dtype) @ p["kernel"].astype(dtype)
+    if "bias" in p:
+        out = out + p["bias"].astype(dtype)
+    return out
+
+
+def _layer_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    # LN in float32 for numerical stability under bfloat16 compute.
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.var(x32, axis=-1, keepdims=True)
+    out = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (out * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    if deterministic or rate == 0.0:
+        return x
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _split_heads(x: jnp.ndarray, n_heads: int) -> jnp.ndarray:
+    B, T, D = x.shape
+    return x.reshape(B, T, n_heads, D // n_heads)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    B, T, H, Dh = x.shape
+    return x.reshape(B, T, H * Dh)
+
+
+def _attention(
+    p: dict,
+    x_q: jnp.ndarray,
+    x_kv: jnp.ndarray,
+    n_heads: int,
+    dtype,
+    mask: jnp.ndarray | None = None,
+    is_causal: bool = False,
+) -> jnp.ndarray:
+    """Multi-head attention; q/k/v from (possibly different) sources.
+
+    ``mask`` is a boolean (B, 1, Tq, Tk) or (B, Tk) keep-mask.
+    """
+    q = _split_heads(_dense(p["q_proj"], x_q, dtype), n_heads)
+    k = _split_heads(_dense(p["k_proj"], x_kv, dtype), n_heads)
+    v = _split_heads(_dense(p["v_proj"], x_kv, dtype), n_heads)
+    if mask is not None and mask.ndim == 2:
+        mask = mask[:, None, None, :]
+    out = jax.nn.dot_product_attention(
+        q, k, v, mask=mask, is_causal=is_causal
+    )
+    return _dense(p["out_proj"], _merge_heads(out), dtype)
+
+
+# --------------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------------
+
+
+def _conv1d_ncw(x, kernel, bias, stride: int, dtype):
+    """(B, T, C) conv with kernel (K, C_in, C_out), SAME-1 padding like torch."""
+    out = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kernel.astype(dtype),
+        window_strides=(stride,),
+        padding=[(1, 1)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + bias.astype(dtype)
+
+
+def encode(
+    params: dict,
+    config: WhisperConfig,
+    input_features: jnp.ndarray,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+    gradient_checkpointing: bool = False,
+) -> jnp.ndarray:
+    """Run the audio encoder.
+
+    Args:
+        input_features: (B, T_mel, n_mels) log-mel features (T_mel = 3000 for
+            30 s parity with published checkpoints; any even T_mel compiles).
+
+    Returns:
+        (B, T_mel // 2, d_model) encoder states.
+    """
+    p = params["encoder"]
+    dtype = config.dtype
+    x = input_features
+
+    if config.apply_spec_augment and not deterministic:
+        assert rng is not None, "SpecAugment needs an rng"
+        x = _spec_augment(rng, x, config)
+
+    x = jax.nn.gelu(_conv1d_ncw(x, p["conv1"]["kernel"], p["conv1"]["bias"], 1,
+                                dtype))
+    x = jax.nn.gelu(_conv1d_ncw(x, p["conv2"]["kernel"], p["conv2"]["bias"], 2,
+                                dtype))
+    T = x.shape[1]
+    x = x + p["embed_positions"][:T].astype(dtype)
+
+    n_heads = config.encoder_attention_heads
+
+    def layer(x, lp):
+        h = _layer_norm(lp["self_attn_layer_norm"], x)
+        x = x + _attention(lp["self_attn"], h, h, n_heads, dtype)
+        h = _layer_norm(lp["final_layer_norm"], x)
+        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype))
+        x = x + _dense(lp["fc2"], h, dtype)
+        return x, None
+
+    if gradient_checkpointing:
+        layer = jax.checkpoint(
+            layer, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    x, _ = jax.lax.scan(layer, x, p["layers"])
+    return _layer_norm(p["layer_norm"], x)
+
+
+def _spec_augment(rng, feats: jnp.ndarray, config: WhisperConfig) -> jnp.ndarray:
+    """Time/feature span masking on the mel features (train-time only)."""
+    from .wav2vec2 import _span_mask
+
+    B, T, F = feats.shape
+    t_rng, f_rng = jax.random.split(rng)
+    if config.mask_time_prob > 0:
+        tmask = _span_mask(t_rng, B, T, config.mask_time_prob,
+                           config.mask_time_length)
+        feats = jnp.where(tmask[..., None], 0.0, feats)
+    if config.mask_feature_prob > 0:
+        fmask = _span_mask(f_rng, B, F, config.mask_feature_prob,
+                           config.mask_feature_length)
+        feats = jnp.where(fmask[:, None, :], 0.0, feats)
+    return feats
+
+
+# --------------------------------------------------------------------------------
+# Decoder (teacher-forced training forward)
+# --------------------------------------------------------------------------------
+
+
+def decode_train(
+    params: dict,
+    config: WhisperConfig,
+    encoder_out: jnp.ndarray,
+    decoder_input_ids: jnp.ndarray,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+    gradient_checkpointing: bool = False,
+) -> jnp.ndarray:
+    """Teacher-forced decoder forward.
+
+    Args:
+        encoder_out: (B, S, D) encoder states.
+        decoder_input_ids: (B, L) token ids (already shifted right).
+
+    Returns:
+        (B, L, vocab) logits.
+    """
+    p = params["decoder"]
+    dtype = config.dtype
+    n_heads = config.decoder_attention_heads
+    L = decoder_input_ids.shape[1]
+
+    x = jnp.take(jnp.asarray(p["embed_tokens"]), decoder_input_ids, axis=0).astype(
+        dtype
+    )
+    x = x + p["embed_positions"][:L].astype(dtype)
+    if not deterministic and config.dropout > 0:
+        assert rng is not None
+        rng, drop_rng = jax.random.split(rng)
+        x = _dropout(drop_rng, x, config.dropout, deterministic)
+
+    def layer(x, lp):
+        h = _layer_norm(lp["self_attn_layer_norm"], x)
+        x = x + _attention(lp["self_attn"], h, h, n_heads, dtype, is_causal=True)
+        h = _layer_norm(lp["encoder_attn_layer_norm"], x)
+        x = x + _attention(lp["encoder_attn"], h, encoder_out, n_heads, dtype)
+        h = _layer_norm(lp["final_layer_norm"], x)
+        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype))
+        x = x + _dense(lp["fc2"], h, dtype)
+        return x, None
+
+    if gradient_checkpointing:
+        layer = jax.checkpoint(
+            layer, policy=jax.checkpoint_policies.nothing_saveable
+        )
+    x, _ = jax.lax.scan(layer, x, p["layers"])
+    x = _layer_norm(p["layer_norm"], x)
+    # Tied output projection; logits in float32 for a stable softmax.
+    return x.astype(jnp.float32) @ p["embed_tokens"].T.astype(jnp.float32)
+
+
+def forward(
+    params: dict,
+    config: WhisperConfig,
+    input_features: jnp.ndarray,
+    decoder_input_ids: jnp.ndarray,
+    deterministic: bool = True,
+    rng: jax.Array | None = None,
+    gradient_checkpointing: bool = False,
+) -> jnp.ndarray:
+    """Full training forward: (B, T_mel, mels) + (B, L) -> (B, L, vocab)."""
+    enc_rng = dec_rng = None
+    if rng is not None:
+        enc_rng, dec_rng = jax.random.split(rng)
+    encoder_out = encode(
+        params, config, input_features, deterministic, enc_rng,
+        gradient_checkpointing,
+    )
+    return decode_train(
+        params, config, encoder_out, decoder_input_ids, deterministic, dec_rng,
+        gradient_checkpointing,
+    )
+
+
+# --------------------------------------------------------------------------------
+# Autoregressive generation (jitted; lax.scan over positions, functional KV cache)
+# --------------------------------------------------------------------------------
+
+
+def precompute_cross_kv(
+    params: dict, config: WhisperConfig, encoder_out: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Cross-attention K/V for every decoder layer: (L, B, S, H, Dh) each."""
+    dtype = config.dtype
+    n_heads = config.decoder_attention_heads
+
+    def per_layer(lp):
+        h = encoder_out
+        k = _split_heads(_dense(lp["encoder_attn"]["k_proj"], h, dtype), n_heads)
+        v = _split_heads(_dense(lp["encoder_attn"]["v_proj"], h, dtype), n_heads)
+        return k, v
+
+    return jax.vmap(per_layer)(params["decoder"]["layers"])
+
+
+def init_self_cache(
+    config: WhisperConfig, batch: int, max_len: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Zeroed self-attention KV cache: (L, B, max_len, H, Dh) x 2."""
+    shape = (
+        config.decoder_layers, batch, max_len,
+        config.decoder_attention_heads, config.head_dim,
+    )
+    return (jnp.zeros(shape, config.dtype), jnp.zeros(shape, config.dtype))
+
+
+def decode_step(
+    params: dict,
+    config: WhisperConfig,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    self_cache: tuple[jnp.ndarray, jnp.ndarray],
+    cross_kv: tuple[jnp.ndarray, jnp.ndarray],
+) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
+    """One decode position for the whole batch.
+
+    Args:
+        tokens: (B,) current input token ids.
+        pos: scalar int32 position.
+        self_cache: (L, B, max_len, H, Dh) keys/values (filled up to ``pos``).
+        cross_kv: per-layer cross K/V from :func:`precompute_cross_kv`.
+
+    Returns:
+        ((B, vocab) logits for the next token, updated cache).
+    """
+    p = params["decoder"]
+    dtype = config.dtype
+    n_heads = config.decoder_attention_heads
+    cache_k, cache_v = self_cache
+    max_len = cache_k.shape[2]
+
+    x = jnp.take(jnp.asarray(p["embed_tokens"]), tokens, axis=0).astype(dtype)
+    x = x[:, None, :]  # (B, 1, D)
+    x = x + jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(p["embed_positions"]), pos, 1, axis=0
+    ).astype(dtype)
+
+    # position mask over the cache: attend to slots <= pos
+    keep = (jnp.arange(max_len) <= pos)[None, None, None, :]  # (1,1,1,max_len)
+
+    def layer(x, inputs):
+        lp, layer_ck, layer_cv, cross_k, cross_v = inputs
+        h = _layer_norm(lp["self_attn_layer_norm"], x)
+        q = _split_heads(_dense(lp["self_attn"]["q_proj"], h, dtype), n_heads)
+        k_new = _split_heads(_dense(lp["self_attn"]["k_proj"], h, dtype), n_heads)
+        v_new = _split_heads(_dense(lp["self_attn"]["v_proj"], h, dtype), n_heads)
+        layer_ck = jax.lax.dynamic_update_slice_in_dim(layer_ck, k_new, pos, axis=1)
+        layer_cv = jax.lax.dynamic_update_slice_in_dim(layer_cv, v_new, pos, axis=1)
+        attn = jax.nn.dot_product_attention(
+            q, layer_ck, layer_cv, mask=keep
+        )
+        x = x + _dense(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
+
+        h = _layer_norm(lp["encoder_attn_layer_norm"], x)
+        q = _split_heads(_dense(lp["encoder_attn"]["q_proj"], h, dtype), n_heads)
+        attn = jax.nn.dot_product_attention(q, cross_k, cross_v)
+        x = x + _dense(lp["encoder_attn"]["out_proj"], _merge_heads(attn), dtype)
+
+        h = _layer_norm(lp["final_layer_norm"], x)
+        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype))
+        x = x + _dense(lp["fc2"], h, dtype)
+        return x, (layer_ck, layer_cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (p["layers"], cache_k, cache_v, cross_kv[0], cross_kv[1])
+    )
+    x = _layer_norm(p["layer_norm"], x)
+    logits = x[:, 0, :].astype(jnp.float32) @ p["embed_tokens"].T.astype(
+        jnp.float32
+    )
+    return logits, (new_k, new_v)
+
+
+def greedy_generate(
+    params: dict,
+    config: WhisperConfig,
+    input_features: jnp.ndarray,
+    forced_ids: jnp.ndarray,
+    max_length: int,
+    eos_id: int,
+    suppress_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Greedy decoding under jit.
+
+    Args:
+        input_features: (B, T_mel, mels).
+        forced_ids: (n_forced,) decoder prompt — ``[sot, lang, task,
+            notimestamps]`` — teacher-forced before free decoding starts.
+        max_length: Total output length including the prompt (static).
+        eos_id: End-of-text id; finished rows keep emitting ``eos_id``.
+        suppress_ids: Optional (n,) token ids never to emit (reference clears the
+            HF defaults, src/coral/whisper.py:103-104, so None matches).
+
+    Returns:
+        (B, max_length) generated ids, prompt included, eos-padded.
+    """
+    B = input_features.shape[0]
+    forced_ids = jnp.asarray(forced_ids, dtype=jnp.int32)
+    n_forced = forced_ids.shape[0]
+    encoder_out = encode(params, config, input_features, deterministic=True)
+    cross_kv = precompute_cross_kv(params, config, encoder_out)
+    cache = init_self_cache(config, B, max_length)
+
+    tokens0 = jnp.full((B,), forced_ids[0], dtype=jnp.int32)
+
+    def step(carry, pos):
+        tokens, cache, finished = carry
+        logits, cache = decode_step(params, config, tokens, pos, cache, cross_kv)
+        if suppress_ids is not None:
+            logits = logits.at[:, suppress_ids].set(-jnp.inf)
+        sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        # While inside the forced prompt, the "prediction" is the next forced id.
+        next_token = jnp.where(
+            pos + 1 < n_forced,
+            forced_ids[jnp.minimum(pos + 1, n_forced - 1)],
+            sampled,
+        )
+        next_token = jnp.where(finished, eos_id, next_token)
+        finished = finished | (next_token == eos_id)
+        return (next_token, cache, finished), next_token
+
+    positions = jnp.arange(max_length - 1)
+    finished0 = jnp.zeros((B,), dtype=bool)
+    _, out_tokens = jax.lax.scan(step, (tokens0, cache, finished0), positions)
+    return jnp.concatenate(
+        [tokens0[None, :], out_tokens], axis=0
+    ).T  # (B, max_length)

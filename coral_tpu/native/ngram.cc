@@ -1,0 +1,472 @@
+// n-gram language model: modified-Kneser-Ney training + ARPA I/O + queries.
+//
+// Native replacement for the reference's KenLM dependency (reference:
+// src/coral/ngram.py:42-177, which downloads and cmake-compiles KenLM at runtime
+// and shells out to `lmplz -o N --prune 0 1 1...`). This implements the same
+// estimation pipeline natively:
+//
+//   - interpolated modified Kneser-Ney with per-order discounts D1/D2/D3+
+//     estimated from counts-of-counts (Chen & Goodman / lmplz defaults);
+//   - adjusted (continuation) counts for the lower orders, except <s>-initial
+//     n-grams which keep raw counts;
+//   - per-order count pruning with the discounted mass of pruned entries
+//     redistributed into the context's backoff weight (model stays normalised);
+//   - ARPA output with a proper </s> unigram, making the reference's
+//     post-hoc "</s> injection" hack (ngram.py:149-169) unnecessary;
+//   - a hash-table query engine with standard backoff semantics, shared with
+//     the CTC beam-search decoder (ctc_beam.cc) for shallow fusion.
+//
+// Exposed through a C ABI consumed via ctypes (no pybind11 in this image).
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace coral {
+
+using WordId = uint32_t;
+
+static const char* kBOS = "<s>";
+static const char* kEOS = "</s>";
+static const char* kUNK = "<unk>";
+
+// Pack a word-id sequence into a byte-string key (hashable, collision-free).
+static std::string PackKey(const WordId* ids, int n) {
+  return std::string(reinterpret_cast<const char*>(ids), n * sizeof(WordId));
+}
+
+struct Entry {
+  float logprob = 0.0f;   // log10
+  float backoff = 0.0f;   // log10
+};
+
+struct Vocab {
+  std::unordered_map<std::string, WordId> ids;
+  std::vector<std::string> words;
+
+  WordId GetOrAdd(const std::string& w) {
+    auto it = ids.find(w);
+    if (it != ids.end()) return it->second;
+    WordId id = static_cast<WordId>(words.size());
+    ids.emplace(w, id);
+    words.push_back(w);
+    return id;
+  }
+  int Find(const std::string& w) const {
+    auto it = ids.find(w);
+    return it == ids.end() ? -1 : static_cast<int>(it->second);
+  }
+};
+
+struct Model {
+  int order = 3;
+  Vocab vocab;
+  // tables[n-1]: n-gram key -> entry
+  std::vector<std::unordered_map<std::string, Entry>> tables;
+  WordId bos = 0, eos = 0, unk = 0;
+
+  // Standard ARPA backoff query: log10 p(w | context), context length <= order-1.
+  float Score(const std::vector<WordId>& context, WordId word) const {
+    int max_ctx = order - 1;
+    int start = std::max(0, static_cast<int>(context.size()) - max_ctx);
+    std::vector<WordId> ctx(context.begin() + start, context.end());
+    // Try longest match first; accumulate backoff on the way down.
+    float backoff_sum = 0.0f;
+    for (int use = static_cast<int>(ctx.size()); use >= 0; --use) {
+      std::vector<WordId> key(ctx.end() - use, ctx.end());
+      key.push_back(word);
+      const auto& table = tables[use];
+      auto it = table.find(PackKey(key.data(), use + 1));
+      if (it != table.end()) return backoff_sum + it->second.logprob;
+      // not found: add the backoff of the context we are abandoning
+      if (use > 0) {
+        std::vector<WordId> ctx_key(ctx.end() - use, ctx.end());
+        const auto& ctx_table = tables[use - 1];
+        auto cit = ctx_table.find(PackKey(ctx_key.data(), use));
+        if (cit != ctx_table.end()) backoff_sum += cit->second.backoff;
+      }
+    }
+    // OOV: unigram table always has <unk>
+    auto it = tables[0].find(PackKey(&unk, 1));
+    return backoff_sum + (it != tables[0].end() ? it->second.logprob : -10.0f);
+  }
+};
+
+// ---------------------------------------------------------------------------------
+// Training
+// ---------------------------------------------------------------------------------
+
+struct Counts {
+  // per order: key -> adjusted count
+  std::vector<std::unordered_map<std::string, uint64_t>> grams;
+};
+
+static void SplitWhitespace(const std::string& line,
+                            std::vector<std::string>* out) {
+  out->clear();
+  std::istringstream ss(line);
+  std::string tok;
+  while (ss >> tok) out->push_back(tok);
+}
+
+// Discounts per (order, count-bucket 1/2/3+), from counts-of-counts.
+struct Discounts {
+  double d[4] = {0, 0.5, 1.0, 1.5};  // d[c] for c = 1, 2, 3+ (index by min(c,3))
+  double For(uint64_t c) const { return d[std::min<uint64_t>(c, 3)]; }
+};
+
+static Discounts EstimateDiscounts(
+    const std::unordered_map<std::string, uint64_t>& grams) {
+  uint64_t n[5] = {0, 0, 0, 0, 0};
+  for (const auto& kv : grams) {
+    if (kv.second >= 1 && kv.second <= 4) n[kv.second]++;
+  }
+  Discounts out;
+  if (n[1] == 0 || n[2] == 0) return out;  // fall back to defaults
+  double y = static_cast<double>(n[1]) / (n[1] + 2.0 * n[2]);
+  for (int i = 1; i <= 3; ++i) {
+    if (n[i] == 0 || n[i + 1] == 0) continue;
+    double d = i - (i + 1) * y * static_cast<double>(n[i + 1]) / n[i];
+    if (d > 0 && d <= i) out.d[i] = d;
+  }
+  return out;
+}
+
+static const float kLog10Min = -99.0f;
+
+int Train(const char* corpus_path, const char* arpa_path, int order,
+          const std::vector<uint64_t>& prune) {
+  std::ifstream in(corpus_path);
+  if (!in) return 1;
+
+  Model model;
+  model.order = order;
+  WordId bos = model.vocab.GetOrAdd(kBOS);
+  WordId eos = model.vocab.GetOrAdd(kEOS);
+  WordId unk = model.vocab.GetOrAdd(kUNK);
+  model.bos = bos;
+  model.eos = eos;
+  model.unk = unk;
+
+  // ---- raw counts ---------------------------------------------------------------
+  Counts counts;
+  counts.grams.resize(order);
+  {
+    std::string line;
+    std::vector<std::string> toks;
+    std::vector<WordId> sent;
+    while (std::getline(in, line)) {
+      SplitWhitespace(line, &toks);
+      if (toks.empty()) continue;
+      sent.clear();
+      sent.push_back(bos);
+      for (const auto& t : toks) sent.push_back(model.vocab.GetOrAdd(t));
+      sent.push_back(eos);
+      int len = static_cast<int>(sent.size());
+      // Count n-grams ending at every position >= 1 (<s> never predicted).
+      for (int end = 1; end < len; ++end) {
+        for (int n = 1; n <= order; ++n) {
+          int start = end - n + 1;
+          if (start < 0) break;
+          counts.grams[n - 1][PackKey(&sent[start], n)]++;
+        }
+      }
+      // Plus pure-context n-grams starting with <s> (needed for denominators).
+    }
+  }
+
+  // ---- adjusted counts (continuation) for orders < N -----------------------------
+  // adjusted(w_1..w_n) = |{v : c(v, w_1..w_n) > 0}| unless w_1 == <s>.
+  for (int n = order - 1; n >= 1; --n) {
+    std::unordered_map<std::string, uint64_t> adjusted;
+    adjusted.reserve(counts.grams[n - 1].size());
+    for (const auto& kv : counts.grams[n]) {
+      // kv is an (n+1)-gram v, w_1..w_n -> continuation of its suffix
+      const WordId* ids = reinterpret_cast<const WordId*>(kv.first.data());
+      adjusted[PackKey(ids + 1, n)]++;
+    }
+    // <s>-initial n-grams keep raw counts (cannot be extended left).
+    for (auto& kv : counts.grams[n - 1]) {
+      const WordId* ids = reinterpret_cast<const WordId*>(kv.first.data());
+      if (ids[0] == bos) continue;
+      auto it = adjusted.find(kv.first);
+      kv.second = (it == adjusted.end()) ? 0 : it->second;
+    }
+    // Drop zero-adjusted entries (unseen as continuations).
+    for (auto it = counts.grams[n - 1].begin();
+         it != counts.grams[n - 1].end();) {
+      if (it->second == 0) it = counts.grams[n - 1].erase(it);
+      else ++it;
+    }
+  }
+
+  // ---- discounts -----------------------------------------------------------------
+  std::vector<Discounts> discounts(order);
+  for (int n = 1; n <= order; ++n)
+    discounts[n - 1] = EstimateDiscounts(counts.grams[n - 1]);
+
+  // ---- survivor sets (pruning with the ARPA context constraint) -------------------
+  // An n-gram survives if its count exceeds the threshold OR it is the context
+  // (prefix) of a surviving (n+1)-gram — a valid ARPA model must contain every
+  // context of every entry, else pruned contexts would shadow the backoff path.
+  std::vector<std::unordered_map<std::string, bool>> keep(order);
+  for (int n = order; n >= 1; --n) {
+    uint64_t threshold =
+        (static_cast<int>(prune.size()) >= n) ? prune[n - 1] : 0;
+    for (const auto& kv : counts.grams[n - 1]) {
+      if (threshold == 0 || kv.second > threshold) keep[n - 1][kv.first] = true;
+    }
+    if (n >= 2) {
+      for (const auto& kv : keep[n - 1]) {
+        keep[n - 2][kv.first.substr(0, (n - 1) * sizeof(WordId))] = true;
+      }
+    }
+  }
+
+  // ---- probabilities bottom-up ----------------------------------------------------
+  model.tables.resize(order);
+
+  // Unigrams: interpolate with uniform over the vocabulary.
+  {
+    const auto& grams = counts.grams[0];
+    const Discounts& dc = discounts[0];
+    double total = 0;
+    uint64_t n1 = 0, n2 = 0, n3p = 0;
+    for (const auto& kv : grams) {
+      total += static_cast<double>(kv.second);
+      if (kv.second == 1) n1++;
+      else if (kv.second == 2) n2++;
+      else n3p++;
+    }
+    // Uniform base distribution over predictable words (<s> is never
+    // predicted, so it is excluded — keeps the unigram distribution normalised).
+    double vocab_size = static_cast<double>(model.vocab.words.size()) - 1.0;
+    double gamma =
+        (dc.d[1] * n1 + dc.d[2] * n2 + dc.d[3] * n3p) / std::max(total, 1.0);
+    double uniform = 1.0 / std::max(vocab_size, 1.0);
+    for (const auto& kv : grams) {
+      const WordId* ids = reinterpret_cast<const WordId*>(kv.first.data());
+      double p = (kv.second - dc.For(kv.second)) / std::max(total, 1.0) +
+                 gamma * uniform;
+      Entry e;
+      e.logprob = (ids[0] == bos)
+                      ? kLog10Min  // <s> is never predicted
+                      : static_cast<float>(std::log10(std::max(p, 1e-12)));
+      model.tables[0][kv.first] = e;
+    }
+    // <unk>: leftover uniform mass.
+    Entry ue;
+    ue.logprob = static_cast<float>(
+        std::log10(std::max(gamma * uniform, 1e-12)));
+    auto it = model.tables[0].find(PackKey(&unk, 1));
+    if (it == model.tables[0].end()) model.tables[0][PackKey(&unk, 1)] = ue;
+    // Ensure <s> exists even if the corpus was empty.
+    if (!model.tables[0].count(PackKey(&bos, 1))) {
+      Entry be;
+      be.logprob = kLog10Min;
+      model.tables[0][PackKey(&bos, 1)] = be;
+    }
+  }
+
+  // Higher orders.
+  for (int n = 2; n <= order; ++n) {
+    const auto& grams = counts.grams[n - 1];
+    const Discounts& dc = discounts[n - 1];
+    uint64_t threshold =
+        (static_cast<int>(prune.size()) >= n) ? prune[n - 1] : 0;
+
+    // Context statistics: denominator and N1/N2/N3+ per context.
+    struct CtxStat {
+      double denom = 0;
+      uint64_t n1 = 0, n2 = 0, n3p = 0;
+      double sum_p = 0;        // surviving interpolated prob mass
+      double sum_p_lower = 0;  // lower-order mass of the surviving extensions
+    };
+    std::unordered_map<std::string, CtxStat> ctx_stats;
+    for (const auto& kv : grams) {
+      std::string ctx = kv.first.substr(0, (n - 1) * sizeof(WordId));
+      auto& st = ctx_stats[ctx];
+      st.denom += static_cast<double>(kv.second);
+      if (kv.second == 1) st.n1++;
+      else if (kv.second == 2) st.n2++;
+      else st.n3p++;
+    }
+
+    // Probabilities for surviving entries.
+    for (const auto& kv : grams) {
+      if (!keep[n - 1].count(kv.first)) continue;
+      const WordId* ids = reinterpret_cast<const WordId*>(kv.first.data());
+      std::string ctx = kv.first.substr(0, (n - 1) * sizeof(WordId));
+      auto& st = ctx_stats[ctx];
+      double gamma = (dc.d[1] * st.n1 + dc.d[2] * st.n2 + dc.d[3] * st.n3p) /
+                     std::max(st.denom, 1.0);
+      std::vector<WordId> lower_ctx(ids + 1, ids + n - 1);
+      double p_lower =
+          std::pow(10.0, model.Score(lower_ctx, ids[n - 1]));
+      double p = (kv.second - dc.For(kv.second)) / std::max(st.denom, 1.0);
+      p = std::max(p, 0.0) + gamma * p_lower;
+      p = std::min(std::max(p, 1e-12), 1.0);
+      Entry e;
+      e.logprob = static_cast<float>(std::log10(p));
+      model.tables[n - 1][kv.first] = e;
+      st.sum_p += p;
+      st.sum_p_lower += p_lower;
+    }
+
+    // Backoff weights live on the (n-1)-gram context entries. The exact ARPA
+    // renormalisation b(ctx) = (1 - sum_surviving p) / (1 - sum_surviving
+    // p_lower) keeps every context distribution summing to 1, pruning included.
+    for (const auto& cs : ctx_stats) {
+      const CtxStat& st = cs.second;
+      if (st.sum_p == 0.0) continue;  // all extensions pruned: no backoff entry
+      double num = std::max(1.0 - st.sum_p, 1e-12);
+      double den = std::max(1.0 - st.sum_p_lower, 1e-12);
+      double b = num / den;
+      auto it = model.tables[n - 2].find(cs.first);
+      // The context constraint in the survivor sets guarantees presence.
+      if (it != model.tables[n - 2].end()) {
+        it->second.backoff = static_cast<float>(std::log10(b));
+      }
+    }
+  }
+
+  // ---- ARPA output ---------------------------------------------------------------
+  std::ofstream out(arpa_path);
+  if (!out) return 2;
+  out.precision(7);
+  out << "\\data\\\n";
+  for (int n = 1; n <= order; ++n)
+    out << "ngram " << n << "=" << model.tables[n - 1].size() << "\n";
+  out << "\n";
+  for (int n = 1; n <= order; ++n) {
+    out << "\\" << n << "-grams:\n";
+    for (const auto& kv : model.tables[n - 1]) {
+      const WordId* ids = reinterpret_cast<const WordId*>(kv.first.data());
+      out << kv.second.logprob;
+      for (int i = 0; i < n; ++i) out << (i ? " " : "\t")
+                                      << model.vocab.words[ids[i]];
+      if (n < order && kv.second.backoff != 0.0f)
+        out << "\t" << kv.second.backoff;
+      out << "\n";
+    }
+    out << "\n";
+  }
+  out << "\\end\\\n";
+  return 0;
+}
+
+// ---------------------------------------------------------------------------------
+// ARPA loading
+// ---------------------------------------------------------------------------------
+
+Model* LoadArpa(const char* path) {
+  std::ifstream in(path);
+  if (!in) return nullptr;
+  auto model = new Model();
+  std::string line;
+  int current_order = 0;
+  std::vector<std::string> toks;
+  while (std::getline(in, line)) {
+    if (line.empty() || line[0] == '\\') {
+      if (line.rfind("\\end", 0) == 0) break;
+      if (line.size() > 2 && line[1] >= '1' && line[1] <= '9' &&
+          line.find("-grams:") != std::string::npos) {
+        current_order = line[1] - '0';
+        if (static_cast<int>(model->tables.size()) < current_order)
+          model->tables.resize(current_order);
+        model->order = std::max(model->order, current_order);
+      }
+      continue;
+    }
+    if (current_order == 0) continue;
+    SplitWhitespace(line, &toks);
+    if (static_cast<int>(toks.size()) < current_order + 1) continue;
+    Entry e;
+    e.logprob = std::strtof(toks[0].c_str(), nullptr);
+    bool has_backoff =
+        static_cast<int>(toks.size()) == current_order + 2;
+    if (has_backoff)
+      e.backoff = std::strtof(toks.back().c_str(), nullptr);
+    std::vector<WordId> ids;
+    ids.reserve(current_order);
+    for (int i = 1; i <= current_order; ++i)
+      ids.push_back(model->vocab.GetOrAdd(toks[i]));
+    model->tables[current_order - 1][PackKey(ids.data(), current_order)] = e;
+  }
+  model->order = static_cast<int>(model->tables.size());
+  int bos = model->vocab.Find(kBOS);
+  int eos = model->vocab.Find(kEOS);
+  int unk = model->vocab.Find(kUNK);
+  model->bos = bos >= 0 ? bos : model->vocab.GetOrAdd(kBOS);
+  model->eos = eos >= 0 ? eos : model->vocab.GetOrAdd(kEOS);
+  model->unk = unk >= 0 ? unk : model->vocab.GetOrAdd(kUNK);
+  return model;
+}
+
+}  // namespace coral
+
+// ---------------------------------------------------------------------------------
+// C ABI (ctypes)
+// ---------------------------------------------------------------------------------
+
+extern "C" {
+
+int coral_ngram_train(const char* corpus_path, const char* arpa_path, int order,
+                      const uint64_t* prune, int prune_len) {
+  std::vector<uint64_t> p(prune, prune + prune_len);
+  return coral::Train(corpus_path, arpa_path, order, p);
+}
+
+void* coral_ngram_load(const char* arpa_path) {
+  return coral::LoadArpa(arpa_path);
+}
+
+void coral_ngram_free(void* handle) {
+  delete static_cast<coral::Model*>(handle);
+}
+
+int coral_ngram_order(void* handle) {
+  return static_cast<coral::Model*>(handle)->order;
+}
+
+// log10 p(word | space-separated context words). Unknown words -> <unk>.
+float coral_ngram_logprob(void* handle, const char* context, const char* word) {
+  auto* model = static_cast<coral::Model*>(handle);
+  std::vector<coral::WordId> ctx;
+  std::vector<std::string> toks;
+  coral::SplitWhitespace(context, &toks);
+  for (const auto& t : toks) {
+    int id = model->vocab.Find(t);
+    ctx.push_back(id >= 0 ? static_cast<coral::WordId>(id) : model->unk);
+  }
+  int wid = model->vocab.Find(word);
+  return model->Score(
+      ctx, wid >= 0 ? static_cast<coral::WordId>(wid) : model->unk);
+}
+
+// log10 probability of a full sentence (with implicit <s> ... </s>).
+float coral_ngram_sentence_logprob(void* handle, const char* sentence) {
+  auto* model = static_cast<coral::Model*>(handle);
+  std::vector<std::string> toks;
+  coral::SplitWhitespace(sentence, &toks);
+  std::vector<coral::WordId> ctx = {model->bos};
+  float total = 0.0f;
+  for (const auto& t : toks) {
+    int id = model->vocab.Find(t);
+    coral::WordId wid =
+        id >= 0 ? static_cast<coral::WordId>(id) : model->unk;
+    total += model->Score(ctx, wid);
+    ctx.push_back(wid);
+  }
+  total += model->Score(ctx, model->eos);
+  return total;
+}
+
+}  // extern "C"

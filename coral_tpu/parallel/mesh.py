@@ -34,6 +34,6 @@ def create_mesh(
     if shape is None:
         shape = (n, 1)
     dp, mp = shape
-    assert dp * mp == n, f"mesh shape {shape} does not cover {n} devices"
-    device_array = np.asarray(devices).reshape(dp, mp)
+    assert dp * mp <= n, f"mesh shape {shape} needs more than {n} devices"
+    device_array = np.asarray(devices[: dp * mp]).reshape(dp, mp)
     return Mesh(device_array, (AXIS_DATA, AXIS_MODEL))

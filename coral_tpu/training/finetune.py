@@ -1,0 +1,341 @@
+"""The fine-tuning orchestrator: config -> trained, checkpointed model.
+
+TPU-native replacement for the reference's ``finetune()`` + HF ``Trainer`` stack
+(reference: ``src/coral/finetune.py:21-95``, ``src/coral/wav2vec2.py:156-250``).
+The HF Trainer's roles are redistributed the XLA way:
+
+- the hot loop is ONE jitted, mesh-sharded, state-donating train step covering the
+  full gradient-accumulation scan (``make_ctc_train_step``);
+- the dataloader workers become a host-side bucketed batcher with a
+  double-buffering device-prefetch thread;
+- DeepSpeed ZeRO-2 becomes ZeRO-sharded optimizer-state shardings over the data
+  mesh axis;
+- checkpoint/resume, best-model selection and early stopping run on the host
+  around the loop (orbax, async saves).
+
+Gradient accumulation matches the reference's arithmetic: ``accumulation =
+total_batch_size // (num_devices * per_device_batch_size)`` (reference:
+``src/coral/wav2vec2.py:158-181``).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+
+from ..data.batching import BucketBatcher, prefetch_to_device
+from ..data.loading import is_main_process, load_data_for_finetuning
+from ..evaluation.eval_loop import run_validation
+from ..parallel import batch_sharding, create_mesh, replicated, zero_shardings
+from ..tracking import load_tracking_setup
+from .checkpoint import Checkpointer, abstract_state_like
+from .model_setup import load_model_setup
+from .optimizer import create_optimizer
+from .train_state import TrainState
+
+logger = logging.getLogger(__package__)
+
+
+def compute_accumulation_steps(config: Any, num_devices: int) -> int:
+    """Reference arithmetic: total batch = devices x per-device x accumulation."""
+    per_device = int(config.per_device_batch_size)
+    total = int(config.total_batch_size)
+    accum = total // (num_devices * per_device)
+    if accum < 1:
+        logger.warning(
+            f"total_batch_size={total} is smaller than one microbatch "
+            f"({num_devices} devices x {per_device}); using accumulation=1."
+        )
+    return max(1, accum)
+
+
+def finetune(config: Any) -> dict[str, float]:
+    """Fine-tune an ASR model according to the composed config.
+
+    Returns:
+        The final metrics (last logged train metrics + last validation scores).
+    """
+    is_main = is_main_process()
+    setup = load_model_setup(config, is_main=is_main)
+    tracking = load_tracking_setup(config) if is_main else None
+    if tracking is not None:
+        tracking.run_initialization()
+
+    # ---- mesh + batch geometry ----------------------------------------------------
+    mesh_shape = config.get("mesh")
+    mesh = create_mesh(tuple(mesh_shape) if mesh_shape else None)
+    n_data = mesh.shape["data"]
+    accum = compute_accumulation_steps(config, n_data)
+    micro_batch = int(config.per_device_batch_size) * n_data
+    max_steps = int(config.max_steps)
+
+    num_buckets = (
+        int(config.get("num_length_buckets", 4))
+        if config.get("padding", "longest") == "longest"
+        and not setup.force_single_bucket
+        else 1
+    )
+    sample_rate = int(config.model.sampling_rate)
+    # Audio padding geometry is family-specific: CTC buckets up to the clip
+    # bound; Whisper pads to the checkpoint's 30 s chunk.
+    max_seconds = setup.audio_pad_seconds
+
+    # ---- model + optimizer state ----------------------------------------------------
+    tx, schedule = create_optimizer(
+        learning_rate=setup.learning_rate,
+        warmup_steps=int(config.warmup_steps),
+        max_steps=max_steps,
+        adam_beta1=float(config.adam_first_momentum),
+        adam_beta2=float(config.adam_second_momentum),
+        max_grad_norm=float(config.max_grad_norm),
+    )
+
+    rng = jax.random.PRNGKey(int(config.seed))
+    init_rng, train_rng = jax.random.split(rng)
+    state = TrainState.create(setup.init_params(init_rng), tx)
+
+    param_sh = jax.tree.map(lambda _: replicated(mesh), state.params)
+    opt_sh = (
+        zero_shardings(state.opt_state, mesh)
+        if config.get("shard_optimizer_state", True)
+        else jax.tree.map(lambda _: replicated(mesh), state.opt_state)
+    )
+    state_sh = TrainState(step=replicated(mesh), params=param_sh, opt_state=opt_sh)
+    data_sh = batch_sharding(mesh, axis=1)
+    batch_sh = {
+        k: data_sh
+        for k in ("input_values", "input_lengths", "labels", "label_lengths")
+    }
+    state = jax.device_put(state, state_sh)
+
+    jitted_train = jax.jit(
+        setup.make_train_step(tx, schedule),
+        in_shardings=(state_sh, batch_sh, replicated(mesh)),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,),
+    )
+    predictor = setup.make_predictor(mesh, param_sh)
+
+    # ---- data --------------------------------------------------------------------
+    splits = load_data_for_finetuning(config, setup.tokenizer)
+    val_names = [name for name in splits if name != "train"]
+    metric_key = f"{val_names[0]}_cer" if val_names else None
+
+    batcher = BucketBatcher(
+        batch_size=micro_batch,
+        accum_steps=accum,
+        max_seconds=max_seconds,
+        sample_rate=sample_rate,
+        num_buckets=num_buckets,
+        # CTC cost scales with T x L: a tighter label cap is a large win when
+        # transcripts are short (config key; defaults to the family cap).
+        max_label_length=int(
+            config.get("max_label_length") or setup.max_label_length
+        ),
+    )
+
+    def batch_stream():
+        """Endless stream over epochs; each pass re-draws the interleaved order."""
+        while True:
+            yield from batcher(splits["train"]())
+
+    # ---- checkpointing / resume ----------------------------------------------------
+    model_dir = Path(config.model_dir)
+    checkpointer = Checkpointer(
+        model_dir / "checkpoints",
+        save_total_limit=int(config.get("save_total_limit", 0)),
+        metric_name=metric_key,
+    )
+    start_step = 0
+    if config.get("resume_from_checkpoint"):
+        latest = checkpointer.latest_step()
+        if latest is not None:
+            state = checkpointer.restore(abstract_state_like(state), step=latest)
+            start_step = latest
+            if is_main:
+                logger.info(f"Resumed from checkpoint at step {latest}.")
+        elif is_main:
+            logger.info("resume_from_checkpoint set, but no checkpoint found.")
+
+    # ---- loop --------------------------------------------------------------------
+    eval_steps = int(config.eval_steps)
+    save_steps = int(config.save_steps)
+    logging_steps = int(config.logging_steps)
+    early_stopping = bool(config.get("early_stopping", False))
+    patience = int(config.get("early_stopping_patience", 50))
+    eval_max_samples = config.get("eval_max_samples")
+
+    stream = batch_stream()
+    if start_step and not config.get("ignore_data_skip", False):
+        if is_main:
+            logger.info(f"Skipping {start_step} consumed batches to resume in place.")
+        for _ in range(start_step):
+            next(stream)
+    # The background thread only assembles host (numpy) batches; the device_put
+    # happens on the main thread. JAX client calls are not safe to issue from a
+    # second thread concurrently with the main thread's dispatches/fetches.
+    batches = prefetch_to_device(
+        stream,
+        put_fn=lambda b: (float(np.sum(b["input_lengths"])) / sample_rate, b),
+        prefetch_size=int(config.get("prefetch_size", 2)),
+    )
+
+    best_metric = math.inf
+    evals_without_improvement = 0
+    history: dict[str, float] = {}
+    window_start = time.perf_counter()
+    window_audio_seconds = 0.0
+    metrics = None
+
+    def run_validation_pass(step: int) -> None:
+        nonlocal best_metric, evals_without_improvement
+        val_metrics: dict[str, float] = {}
+        for name in val_names:
+            scores = run_validation(
+                predictor,
+                state.params,
+                splits[name],
+                batch_size=micro_batch,
+                max_seconds=max_seconds,
+                sample_rate=sample_rate,
+                bucket_lengths=batcher.bucket_lengths,
+                max_samples=eval_max_samples,
+                log_example=is_main,
+            )
+            val_metrics.update({f"{name}_{k}": v for k, v in scores.items()})
+        history.update(val_metrics)
+        if is_main:
+            logger.info(f"Step {step}: {val_metrics}")
+            if tracking is not None:
+                tracking.log_metrics(val_metrics, step=step)
+        if metric_key and metric_key in val_metrics:
+            current = val_metrics[metric_key]
+            if current < best_metric:
+                best_metric = current
+                evals_without_improvement = 0
+            else:
+                evals_without_improvement += 1
+
+    if is_main:
+        logger.info(
+            f"Training on a {dict(mesh.shape)} mesh: {n_data} data-parallel devices "
+            f"x {config.per_device_batch_size} per-device batch x {accum} "
+            f"accumulation = {micro_batch * accum} effective batch size."
+        )
+
+    step = start_step
+    for batch_seconds, host_batch in batches:
+        if step >= max_steps:
+            break
+        batch = jax.device_put(host_batch, batch_sh)
+        state, metrics = jitted_train(
+            state, batch, jax.random.fold_in(train_rng, step)
+        )
+        step += 1
+        window_audio_seconds += batch_seconds
+
+        if step % logging_steps == 0 or step == max_steps:
+            elapsed = time.perf_counter() - window_start
+            logged = {
+                "loss": float(metrics["loss"]),
+                "grad_norm": float(metrics["grad_norm"]),
+                "learning_rate": float(metrics["learning_rate"]),
+                "audio_seconds_per_second": window_audio_seconds / max(elapsed, 1e-9),
+            }
+            history.update(logged)
+            if is_main:
+                logger.info(f"Step {step}/{max_steps}: {logged}")
+                if tracking is not None:
+                    tracking.log_metrics(logged, step=step)
+            window_start = time.perf_counter()
+            window_audio_seconds = 0.0
+
+        if step % eval_steps == 0 and val_names:
+            run_validation_pass(step)
+            if early_stopping and evals_without_improvement >= patience:
+                if is_main:
+                    logger.info(
+                        f"Early stopping: no {metric_key} improvement in "
+                        f"{patience} evaluations."
+                    )
+                break
+
+        if step % save_steps == 0:
+            checkpointer.save(
+                step,
+                state,
+                metrics={
+                    k: v for k, v in history.items() if k.startswith("val_")
+                } or None,
+            )
+
+    # ---- final eval + save ----------------------------------------------------------
+    if val_names and step % eval_steps != 0:
+        run_validation_pass(step)
+    if checkpointer.latest_step() != step:
+        checkpointer.save(step, state, metrics={
+            k: v for k, v in history.items() if k.startswith("val_")
+        } or None)
+    checkpointer.wait()
+
+    # Load-best-at-end semantics (reference: load_best_model_at_end=True).
+    best = checkpointer.best_step()
+    if metric_key and best is not None and best != step:
+        state = checkpointer.restore(abstract_state_like(state), step=best)
+        if is_main:
+            logger.info(f"Loaded best checkpoint (step {best}) for the final save.")
+
+    if is_main:
+        save_model(config, setup, state)
+        logger.info(f"Saved final model to {model_dir}.")
+    checkpointer.close()
+
+    if tracking is not None:
+        tracking.run_finalization()
+
+    # n-gram decoder training (reference: src/coral/finetune.py:86-87).
+    if config.model.get("use_decoder", False) and is_main:
+        from ..decoding.ngram_pipeline import train_and_store_ngram_model
+
+        try:
+            train_and_store_ngram_model(config)
+        except Exception as error:
+            logger.warning(f"n-gram decoder training failed: {error}")
+
+    if config.get("push_to_hub", False) and is_main:
+        from ..utils.hub import push_model_to_hub
+
+        push_model_to_hub(config)
+    return history
+
+
+def save_model(config: Any, setup: Any, state: Any) -> None:
+    """Write the deployable model artefact: params + tokenizer + config.
+
+    The reference saves an HF ``save_pretrained`` directory
+    (reference: ``src/coral/finetune.py:84``); ours is an orbax param
+    checkpoint next to ``vocab.json`` and the resolved config.
+    """
+    import orbax.checkpoint as ocp
+
+    from ..config import to_yaml
+
+    model_dir = Path(config.model_dir).resolve()
+    model_dir.mkdir(parents=True, exist_ok=True)
+    params = jax.tree.map(np.asarray, jax.device_get(state.params))
+    path = model_dir / "model"
+    with ocp.StandardCheckpointer() as ckptr:
+        import shutil
+
+        if path.exists():
+            shutil.rmtree(path)
+        ckptr.save(path, params)
+        ckptr.wait_until_finished()
+    setup.tokenizer.save_pretrained(model_dir)
+    (model_dir / "config.yaml").write_text(to_yaml(config), encoding="utf-8")

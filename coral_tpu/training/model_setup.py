@@ -1,0 +1,400 @@
+"""Model-setup factory: config -> tokenizer + params + jitted step builders.
+
+Mirrors the reference's setup layer (reference: ``src/coral/model_setup.py:10-31``
+dispatching on ``config.model.type``, and the per-family setup classes in
+``src/coral/wav2vec2.py`` / ``src/coral/whisper.py``), rebuilt around functional
+models and jitted step functions instead of HF Trainer plumbing. Each family
+exposes the same small surface to the trainer loop:
+
+- ``init_params(rng)`` — pretrained weights when found locally, else random init;
+- ``make_train_step(tx, schedule)`` — the full accumulation-scan train step;
+- ``make_predictor(mesh, param_sharding)`` — jitted batch -> transcript strings,
+  used by training-time validation and by the evaluation pipeline.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import Wav2Vec2Config, Wav2Vec2ForCTC
+from ..models.whisper import WhisperConfig
+from ..parallel import batch_sharding
+from ..text.tokenizer import CtcTokenizer, dump_vocabulary
+from ..text.whisper_tokenizer import WhisperTokenizer
+
+logger = logging.getLogger(__package__)
+
+_W2V2_ARCHS: dict[str, Callable[..., Wav2Vec2Config]] = {
+    "tiny": Wav2Vec2Config.tiny,
+    "300m": Wav2Vec2Config.xls_r_300m,
+    "1b": Wav2Vec2Config.xls_r_1b,
+    "2b": Wav2Vec2Config.xls_r_2b,
+}
+
+# Ordered: first matching substring of `pretrained_model_id` wins.
+_WHISPER_ARCHS: list[tuple[str, Callable[..., WhisperConfig]]] = [
+    ("tiny_test", WhisperConfig.tiny_test),
+    ("turbo", WhisperConfig.large_v3_turbo),
+    ("large-v3", WhisperConfig.large_v3),
+    ("large", WhisperConfig.large_v2),
+    ("medium", WhisperConfig.medium),
+    ("small", WhisperConfig.small),
+    ("base", WhisperConfig.base),
+    ("tiny", WhisperConfig.tiny),
+]
+
+
+def _find_local_checkpoint(pretrained_model_id: str | None) -> Path | None:
+    """Resolve a local safetensors/pytorch checkpoint for a pretrained id.
+
+    Checks the id as a filesystem path and the HF cache layout; returns None when
+    nothing is on disk (zero-egress environments train from random init).
+    """
+    if not pretrained_model_id:
+        return None
+    candidates = [Path(pretrained_model_id)]
+    hf_home = Path(os.environ.get("HF_HOME", Path.home() / ".cache/huggingface"))
+    repo_dir = hf_home / "hub" / f"models--{pretrained_model_id.replace('/', '--')}"
+    if repo_dir.exists():
+        candidates.extend(sorted((repo_dir / "snapshots").glob("*")))
+    for cand in candidates:
+        if cand.is_file():
+            return cand
+        if cand.is_dir():
+            for name in ("model.safetensors", "pytorch_model.bin"):
+                if (cand / name).exists():
+                    return cand / name
+    return None
+
+
+def _multi_device_layerdrop(layerdrop: float, is_main: bool) -> float:
+    """Zero layerdrop on a multi-device mesh, as the reference forces for
+    multi-GPU (reference: ``src/scripts/finetune_asr_model.py:47-54``).
+    Stochastic layer skipping would desynchronise a single traced program."""
+    if len(jax.devices()) > 1 and layerdrop != 0.0:
+        if is_main:
+            logger.info("Disabling layerdrop for the multi-device mesh.")
+        return 0.0
+    return layerdrop
+
+
+class Wav2Vec2Setup:
+    """wav2vec2-CTC family (reference: ``src/coral/wav2vec2.py:35-306``)."""
+
+    model_type = "wav2vec2"
+
+    def __init__(self, config: Any, is_main: bool = True) -> None:
+        self.config = config
+        model_cfg = config.model
+        model_dir = Path(config.model_dir)
+        if is_main:
+            dump_vocabulary(model_cfg.characters_to_keep, model_dir)
+        self.tokenizer = CtcTokenizer.from_characters(model_cfg.characters_to_keep)
+
+        use_bf16 = bool(config.get("bf16_allowed", True))
+        arch = self._infer_arch(model_cfg)
+        self.model_config = arch(
+            vocab_size=self.tokenizer.vocab_size,
+            dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+            hidden_dropout=model_cfg.get("hidden_dropout", 0.0),
+            activation_dropout=model_cfg.get("activation_dropout", 0.1),
+            attention_dropout=model_cfg.get("attention_dropout", 0.0),
+            feat_proj_dropout=model_cfg.get("feat_proj_dropout", 0.0),
+            final_dropout=model_cfg.get("final_dropout", 0.0),
+            layerdrop=_multi_device_layerdrop(
+                model_cfg.get("layerdrop", 0.0), is_main
+            ),
+            mask_time_prob=model_cfg.get("mask_time_prob", 0.5),
+            mask_time_length=model_cfg.get("mask_time_length", 10),
+            mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
+            mask_feature_length=model_cfg.get("mask_feature_length", 64),
+        )
+        self.model = Wav2Vec2ForCTC(
+            self.model_config,
+            gradient_checkpointing=bool(config.get("gradient_checkpointing", True)),
+        )
+        self.blank_id = self.tokenizer.pad_token_id
+        self.ctc_loss_reduction = model_cfg.get("ctc_loss_reduction", "sum")
+        self.freeze_feature_encoder = bool(
+            model_cfg.get("freeze_feature_encoder", False)
+        )
+        self.learning_rate = float(model_cfg.get("learning_rate", 1e-4))
+        # Audio batch geometry: CTC trains on length-bucketed clips.
+        self.audio_pad_seconds = float(config.max_seconds_per_example)
+        self.force_single_bucket = False
+        self.max_label_length = self.tokenizer.model_max_length
+        self._ckpt = _find_local_checkpoint(model_cfg.get("pretrained_model_id"))
+        if self._ckpt is None and is_main and model_cfg.get("pretrained_model_id"):
+            logger.warning(
+                f"Pretrained checkpoint {model_cfg.pretrained_model_id!r} not "
+                "found locally; initialising from scratch."
+            )
+        self._is_main = is_main
+
+    @staticmethod
+    def _infer_arch(model_cfg: Any) -> Callable[..., Wav2Vec2Config]:
+        explicit = model_cfg.get("architecture")
+        if explicit is not None:
+            if explicit not in _W2V2_ARCHS:
+                raise ValueError(f"Unknown wav2vec2 architecture {explicit!r}")
+            return _W2V2_ARCHS[explicit]
+        pretrained = (model_cfg.get("pretrained_model_id") or "").lower()
+        for key, factory in _W2V2_ARCHS.items():
+            if key in pretrained:
+                return factory
+        return Wav2Vec2Config.xls_r_300m
+
+    def init_params(self, rng: jax.Array) -> Any:
+        sr = int(self.config.model.sampling_rate)
+        params = self.model.init(
+            {"params": rng}, jnp.zeros((1, sr)), jnp.asarray([sr])
+        )["params"]
+        if self._ckpt is not None:
+            from ..models.convert import (
+                load_torch_state_dict,
+                wav2vec2_params_from_torch,
+            )
+
+            if self._is_main:
+                logger.info(f"Loading pretrained weights from {self._ckpt}")
+            params = wav2vec2_params_from_torch(
+                load_torch_state_dict(self._ckpt), self.model_config
+            )
+        return params
+
+    def make_train_step(self, tx, schedule) -> Callable:
+        from .train_state import make_ctc_train_step
+
+        return make_ctc_train_step(
+            self.model, tx, schedule,
+            blank_id=self.blank_id,
+            ctc_loss_reduction=self.ctc_loss_reduction,
+            freeze_feature_encoder=self.freeze_feature_encoder,
+        )
+
+    def make_predictor(self, mesh, param_sharding) -> Callable:
+        """Jitted greedy CTC decode: host batch -> list of transcript strings."""
+        from .train_state import make_ctc_eval_step
+
+        eval_sh = {
+            "input_values": batch_sharding(mesh, axis=0),
+            "input_lengths": batch_sharding(mesh, axis=0),
+        }
+        eval_step = jax.jit(
+            make_ctc_eval_step(self.model),
+            in_shardings=(param_sharding, eval_sh),
+        )
+        tokenizer = self.tokenizer
+
+        def predict(params, batch: dict) -> list[str]:
+            pred_ids, frame_lengths = eval_step(params, batch)
+            pred_ids = np.asarray(pred_ids)
+            frame_lengths = np.asarray(frame_lengths)
+            return [
+                tokenizer.decode(pred_ids[i, : frame_lengths[i]])
+                for i in range(pred_ids.shape[0])
+            ]
+
+        return predict
+
+    def make_beam_predictor(
+        self,
+        mesh,
+        param_sharding,
+        arpa_path,
+        alpha: float = 0.5,
+        beta: float = 1.5,
+        beam_width: int = 100,
+    ) -> Callable:
+        """Beam-search transcriber with n-gram shallow fusion.
+
+        The reference reaches this through ``Wav2Vec2ProcessorWithLM`` +
+        pyctcdecode (reference: ``src/coral/compute_metrics.py:53-54``); here
+        the device produces log-probs and the in-repo C++ decoder
+        (``coral_tpu/native/ctc_beam.cc``) fuses the LM on the host.
+        """
+        from ..audio.features import znorm
+        from ..decoding import BeamSearchDecoder, NGramModel
+
+        model = self.model
+
+        def logprob_step(params, batch):
+            logits, frame_lengths = model.apply(
+                {"params": params},
+                znorm(batch["input_values"], batch["input_lengths"]),
+                batch["input_lengths"],
+                deterministic=True,
+            )
+            return jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1
+            ), frame_lengths
+
+        eval_sh = {
+            "input_values": batch_sharding(mesh, axis=0),
+            "input_lengths": batch_sharding(mesh, axis=0),
+        }
+        step = jax.jit(logprob_step, in_shardings=(param_sharding, eval_sh))
+
+        vocab = [
+            self.tokenizer.ids_to_tokens[i]
+            for i in range(self.tokenizer.vocab_size)
+        ]
+        decoder = BeamSearchDecoder(
+            vocab,
+            blank_id=self.blank_id,
+            word_sep_id=vocab.index(self.tokenizer.word_delimiter_token),
+            lm=NGramModel(arpa_path),
+            alpha=alpha,
+            beta=beta,
+            beam_width=beam_width,
+        )
+
+        def predict(params, batch: dict) -> list[str]:
+            log_probs, frame_lengths = step(params, batch)
+            return decoder.decode_batch(
+                np.asarray(log_probs), np.asarray(frame_lengths)
+            )
+
+        return predict
+
+
+class WhisperSetup:
+    """Whisper seq2seq family (reference: ``src/coral/whisper.py:35-267``)."""
+
+    model_type = "whisper"
+    CHUNK_SECONDS = 30  # published checkpoints expect 30 s / 3000 mel frames
+
+    def __init__(self, config: Any, is_main: bool = True) -> None:
+        self.config = config
+        model_cfg = config.model
+        use_bf16 = bool(config.get("bf16_allowed", True))
+        arch, is_v3 = self._infer_arch(model_cfg)
+
+        self._ckpt = _find_local_checkpoint(model_cfg.get("pretrained_model_id"))
+        language = model_cfg.get("language", "danish")
+        task = model_cfg.get("task", "transcribe")
+        if self._ckpt is not None and (self._ckpt.parent / "vocab.json").exists():
+            self.tokenizer = WhisperTokenizer.from_pretrained(
+                self._ckpt.parent, language=language, task=task,
+                multilingual_v3=is_v3,
+            )
+        else:
+            if is_main and model_cfg.get("pretrained_model_id"):
+                logger.warning(
+                    f"Pretrained checkpoint {model_cfg.pretrained_model_id!r} "
+                    "not found locally; using a byte-fallback tokenizer and "
+                    "random init."
+                )
+            self.tokenizer = WhisperTokenizer.byte_fallback(
+                language=language, task=task
+            )
+            self._ckpt = None
+
+        self.model_config = arch(
+            vocab_size=self.tokenizer.vocab_size,
+            dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
+            dropout=model_cfg.get("dropout", 0.0),
+            activation_dropout=model_cfg.get("activation_dropout", 0.1),
+            attention_dropout=model_cfg.get("attention_dropout", 0.0),
+            mask_time_prob=model_cfg.get("mask_time_prob", 0.5),
+            mask_time_length=model_cfg.get("mask_time_length", 10),
+            mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
+            mask_feature_length=model_cfg.get("mask_feature_length", 64),
+        )
+        _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
+        self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))
+        self.generation_max_length = int(model_cfg.get("max_length", 225))
+        self.gradient_checkpointing = bool(
+            config.get("gradient_checkpointing", True)
+        )
+        chunk_seconds = float(model_cfg.get("chunk_seconds", self.CHUNK_SECONDS))
+        self.audio_pad_seconds = chunk_seconds
+        self.force_single_bucket = True
+        self.chunk_length = int(chunk_seconds * config.model.sampling_rate)
+        # Label padding must stay within the decoder's position table.
+        self.max_label_length = min(
+            self.tokenizer.model_max_length,
+            self.model_config.max_target_positions,
+        )
+        self._is_main = is_main
+
+    @staticmethod
+    def _infer_arch(model_cfg: Any) -> tuple[Callable[..., WhisperConfig], bool]:
+        explicit = model_cfg.get("architecture")
+        pretrained = (model_cfg.get("pretrained_model_id") or "").lower()
+        key_source = explicit if explicit is not None else pretrained
+        for key, factory in _WHISPER_ARCHS:
+            if key in key_source:
+                return factory, key in ("turbo", "large-v3")
+        if explicit is not None:
+            raise ValueError(f"Unknown whisper architecture {explicit!r}")
+        return WhisperConfig.small, False
+
+    def init_params(self, rng: jax.Array) -> Any:
+        from ..models.whisper import init_whisper_params
+
+        if self._ckpt is not None:
+            from ..models.convert import (
+                load_torch_state_dict,
+                whisper_params_from_torch,
+            )
+
+            if self._is_main:
+                logger.info(f"Loading pretrained weights from {self._ckpt}")
+            return whisper_params_from_torch(
+                load_torch_state_dict(self._ckpt), self.model_config
+            )
+        return init_whisper_params(rng, self.model_config)
+
+    def make_train_step(self, tx, schedule) -> Callable:
+        from .train_state import make_seq2seq_train_step
+
+        return make_seq2seq_train_step(
+            self.model_config, tx, schedule,
+            sot_id=self.tokenizer.sot_token_id,
+            pad_id=self.tokenizer.pad_token_id,
+            chunk_length=self.chunk_length,
+            gradient_checkpointing=self.gradient_checkpointing,
+        )
+
+    def make_predictor(self, mesh, param_sharding) -> Callable:
+        """Jitted greedy generation: host batch -> list of transcript strings."""
+        from .train_state import make_whisper_generate_step
+
+        eval_sh = {
+            "input_values": batch_sharding(mesh, axis=0),
+            "input_lengths": batch_sharding(mesh, axis=0),
+        }
+        generate = jax.jit(
+            make_whisper_generate_step(
+                self.model_config,
+                forced_ids=self.tokenizer.forced_decoder_ids,
+                max_length=self.generation_max_length,
+                eos_id=self.tokenizer.eos_token_id,
+            ),
+            in_shardings=(param_sharding, eval_sh),
+        )
+        tokenizer = self.tokenizer
+
+        def predict(params, batch: dict) -> list[str]:
+            ids = np.asarray(generate(params, batch))
+            return tokenizer.batch_decode(ids)
+
+        return predict
+
+
+def load_model_setup(config: Any, is_main: bool = True):
+    """Dispatch on ``config.model.type`` (reference: ``model_setup.py:24-31``)."""
+    model_type = config.model.type
+    if model_type == "wav2vec2":
+        return Wav2Vec2Setup(config, is_main=is_main)
+    if model_type == "whisper":
+        return WhisperSetup(config, is_main=is_main)
+    raise ValueError(f"Unsupported model type: {model_type!r}")

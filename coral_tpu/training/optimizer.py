@@ -19,7 +19,9 @@ def create_learning_rate_schedule(
         init_value=0.0,
         peak_value=learning_rate,
         warmup_steps=warmup_steps,
-        decay_steps=max_steps,
+        # decay_steps counts warmup too; keep a positive decay phase even for
+        # smoke runs with max_steps <= warmup_steps.
+        decay_steps=max(max_steps, warmup_steps + 1),
         end_value=0.0,
     )
 

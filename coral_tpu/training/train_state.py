@@ -57,12 +57,16 @@ def make_ctc_train_step(
     ``label_lengths (A, B)`` with A = gradient-accumulation microbatches. Shard the
     B axis over the data mesh axis.
     """
+    from ..audio.features import znorm
     from ..ops import ctc_loss
 
     def microbatch_loss(params, mb, dropout_rng, spec_rng):
+        # On-device z-norm = HF Wav2Vec2FeatureExtractor(do_normalize=True),
+        # which the reference runs on CPU workers (reference:
+        # src/coral/data.py:747-751).
         logits, frame_lengths = model.apply(
             {"params": params},
-            mb["input_values"],
+            znorm(mb["input_values"], mb["input_lengths"]),
             mb["input_lengths"],
             deterministic=False,
             freeze_feature_encoder=freeze_feature_encoder,
@@ -128,11 +132,12 @@ def make_ctc_train_step(
 
 def make_ctc_eval_step(model) -> Callable:
     """Build the eval forward: returns greedy argmax ids and frame lengths."""
+    from ..audio.features import znorm
 
     def eval_step(params, batch):
         logits, frame_lengths = model.apply(
             {"params": params},
-            batch["input_values"],
+            znorm(batch["input_values"], batch["input_lengths"]),
             batch["input_lengths"],
             deterministic=True,
         )
@@ -140,3 +145,126 @@ def make_ctc_eval_step(model) -> Callable:
         return pred_ids, frame_lengths
 
     return eval_step
+
+
+def make_seq2seq_train_step(
+    model_config,
+    tx: optax.GradientTransformation,
+    schedule,
+    sot_id: int,
+    pad_id: int,
+    chunk_length: int,
+    gradient_checkpointing: bool = False,
+) -> Callable:
+    """Build the Whisper train step: on-device log-mel -> encoder-decoder -> CE.
+
+    The reference trains through HF ``Seq2SeqTrainer`` with CPU-side feature
+    extraction (reference: ``src/coral/whisper.py:124-126``,
+    ``src/coral/data.py:747-751``); here the mel frontend, SpecAugment,
+    teacher-forced forward and the accumulation scan all run inside one jitted
+    step. Batch layout matches the CTC step: ``input_values (A, B, T)`` raw
+    waveforms, ``labels (A, B, L)`` with -100 padding; ``T`` must equal
+    ``chunk_length`` (30 s for checkpoint parity).
+    """
+    from ..audio.augment import peak_normalize
+    from ..audio.mel import log_mel_spectrogram
+    from ..models import whisper as W
+
+    def microbatch_loss(params, mb, rng):
+        audio = mb["input_values"]
+        # 160 = mel hop, x2 for the encoder's stride-2 conv. 30 s (480000) for
+        # checkpoint parity; any multiple of 320 compiles (short-window runs).
+        assert audio.shape[-1] % 320 == 0, (
+            f"whisper audio length must be a multiple of 320, "
+            f"got {audio.shape[-1]} (expected e.g. {chunk_length})"
+        )
+        # Waveform peak normalisation (reference: normalise_audio=True in
+        # src/coral/data.py:710-715); scale matters for the log-mel floor.
+        audio = peak_normalize(audio)
+        feats = log_mel_spectrogram(
+            audio, n_mels=model_config.num_mel_bins, dtype=model_config.dtype
+        )
+        labels = mb["labels"]
+        # Shift right: decoder input t sees label t-1; -100 padding -> pad id.
+        safe_labels = jnp.where(labels == -100, pad_id, labels)
+        decoder_input_ids = jnp.concatenate(
+            [jnp.full((labels.shape[0], 1), sot_id, labels.dtype),
+             safe_labels[:, :-1]],
+            axis=1,
+        )
+        logits = W.forward(
+            params, model_config, feats, decoder_input_ids,
+            deterministic=False, rng=rng,
+            gradient_checkpointing=gradient_checkpointing,
+        )
+        mask = labels != -100
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        token_ll = jnp.take_along_axis(
+            logp, safe_labels[..., None], axis=-1
+        )[..., 0]
+        # Mean over valid tokens (HF CrossEntropyLoss(ignore_index=-100)).
+        return -jnp.sum(token_ll * mask) / jnp.maximum(jnp.sum(mask), 1)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        num_micro = batch["input_values"].shape[0]
+        rngs = jax.random.split(rng, num_micro)
+        grad_fn = jax.value_and_grad(microbatch_loss)
+
+        def accum_step(carry, inputs):
+            loss_sum, grad_sum = carry
+            mb, step_rng = inputs
+            loss, grads = grad_fn(state.params, mb, step_rng)
+            return (
+                loss_sum + loss,
+                jax.tree.map(jnp.add, grad_sum, grads),
+            ), None
+
+        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+        (loss_sum, grad_sum), _ = jax.lax.scan(
+            accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
+        )
+        loss = loss_sum / num_micro
+        grads = jax.tree.map(lambda g: g / num_micro, grad_sum)
+
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+            "learning_rate": schedule(state.step),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_whisper_generate_step(
+    model_config,
+    forced_ids,
+    max_length: int,
+    eos_id: int,
+) -> Callable:
+    """Build the eval forward: greedy generation from raw waveforms."""
+    import numpy as np
+
+    from ..audio.augment import peak_normalize
+    from ..audio.mel import log_mel_spectrogram
+    from ..models import whisper as W
+
+    forced = jnp.asarray(np.asarray(forced_ids), dtype=jnp.int32)
+
+    def generate_step(params, batch):
+        feats = log_mel_spectrogram(
+            peak_normalize(batch["input_values"]),
+            n_mels=model_config.num_mel_bins,
+            dtype=model_config.dtype,
+        )
+        return W.greedy_generate(
+            params, model_config, feats, forced, max_length=max_length,
+            eos_id=eos_id,
+        )
+
+    return generate_step

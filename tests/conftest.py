@@ -12,14 +12,26 @@ import sys
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    xla_flags = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in xla_flags:
+    # 8 virtual devices time-slicing few host cores can exceed the default 40 s
+    # collective rendezvous timeout under load; that aborts the process.
+    xla_flags += (
+        " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=900"
+    )
+os.environ["XLA_FLAGS"] = xla_flags
 
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config flag wins.
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: the tiny-model jit programs in these tests are
+# identical across runs, and compile time dominates on a small CPU host.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/coral_tpu/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import pytest  # noqa: E402
 

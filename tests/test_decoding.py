@@ -1,0 +1,139 @@
+"""Native decoding stack tests: n-gram LM estimation and CTC beam search.
+
+The LM normalisation test is the strongest check: for any context, the modified
+Kneser-Ney probabilities (with backoff) must sum to 1 over the vocabulary —
+this exercises discounting, interpolation, pruning mass redistribution, and the
+backoff query path all at once.
+"""
+
+import numpy as np
+import pytest
+
+from coral_tpu.decoding import BeamSearchDecoder, NGramModel, build_native_library
+
+CORPUS = [
+    "jeg gik en tur i skoven",
+    "jeg gik en tur i byen",
+    "han gik hjem fra skolen",
+    "hun gik en lang tur",
+    "vi gik sammen i byen",
+    "de gik hjem fra festen",
+    "jeg bor i en lille by",
+    "hun bor i byen",
+    "han bor i skoven",
+    "en tur i skoven er dejlig",
+] * 3
+
+
+@pytest.fixture(scope="module")
+def lm(tmp_path_factory):
+    build_native_library()
+    tmp = tmp_path_factory.mktemp("ngram")
+    corpus = tmp / "corpus.txt"
+    corpus.write_text("\n".join(CORPUS), encoding="utf-8")
+    return NGramModel.train(corpus, tmp / "3gram.arpa", order=3)
+
+
+def _arpa_unigrams(arpa_path):
+    words, in_unigrams = [], False
+    for line in arpa_path.read_text(encoding="utf-8").splitlines():
+        if line.startswith("\\1-grams:"):
+            in_unigrams = True
+            continue
+        if in_unigrams:
+            if not line.strip() or line.startswith("\\"):
+                break
+            words.append(line.split("\t")[1].split(" ")[0])
+    return words
+
+
+@pytest.mark.parametrize("context", ["", "jeg", "jeg gik", "gik en", "ukendt ord"])
+def test_lm_distribution_normalised(lm, context):
+    vocab = _arpa_unigrams(lm.arpa_path)
+    total = sum(
+        10.0 ** lm.logprob(w, context) for w in vocab if w != "<s>"
+    )
+    assert total == pytest.approx(1.0, abs=0.05)
+
+
+def test_lm_prefers_seen_continuations(lm):
+    assert lm.logprob("gik", "jeg") > lm.logprob("skoven", "jeg")
+    assert lm.logprob("tur", "en") > lm.logprob("hjem", "en")
+
+
+def test_lm_sentence_logprob_orders_sentences(lm):
+    likely = lm.sentence_logprob("jeg gik en tur i skoven")
+    unlikely = lm.sentence_logprob("skoven byen hjem jeg jeg jeg")
+    assert likely > unlikely
+    assert np.isfinite(likely) and np.isfinite(unlikely)
+
+
+def test_arpa_contains_eos_unigram(lm):
+    """The reference patches </s> into lmplz output (ngram.py:149-169); ours
+    emits it natively."""
+    assert "</s>" in _arpa_unigrams(lm.arpa_path)
+
+
+def make_logits(text, vocab, peak=8.0):
+    """(T, V) log-probs strongly peaked on the char sequence of `text`."""
+    t2i = {c: i for i, c in enumerate(vocab)}
+    ids = [t2i["|" if c == " " else c] for c in text]
+    blank = len(vocab) - 1
+    seq = []
+    for i in ids:
+        seq.extend([i, blank])
+    logits = np.full((len(seq), len(vocab)), -peak, dtype=np.float32)
+    for t, i in enumerate(seq):
+        logits[t, i] = peak
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    return logp.astype(np.float32)
+
+
+VOCAB = list("abdeghijklmnorstuvy æøå") + ["|", "<pad>"]
+
+
+@pytest.fixture(scope="module")
+def acoustic_vocab():
+    vocab = [c for c in VOCAB if c != " "]
+    return vocab, len(vocab) - 1, vocab.index("|")
+
+
+def test_beam_search_greedy_path(acoustic_vocab):
+    vocab, blank, sep = acoustic_vocab
+    decoder = BeamSearchDecoder(vocab, blank_id=blank, word_sep_id=sep)
+    logp = make_logits("jeg gik en tur", vocab)
+    assert decoder.decode(logp) == "jeg gik en tur"
+
+
+def test_beam_search_with_lm_rescores(lm, acoustic_vocab):
+    vocab, blank, sep = acoustic_vocab
+    # Ambiguate the final character of "skoven" vs "skoves" acoustically; the
+    # LM should pick the word it has seen.
+    decoder = BeamSearchDecoder(
+        vocab, blank_id=blank, word_sep_id=sep, lm=lm, alpha=2.0, beta=0.0,
+        beam_width=50,
+    )
+    logp = make_logits("jeg gik en tur i skoven", vocab).copy()
+    # find the frame where the trailing 'n' peaks and make it a near-tie with 's'
+    n_id, s_id = vocab.index("n"), vocab.index("s")
+    t = len("jeg gik en tur i skove") * 2  # frames alternate token/blank
+    logp[t, :] = np.log(1e-6)
+    logp[t, n_id] = np.log(0.49)
+    logp[t, s_id] = np.log(0.51)
+    assert decoder.decode(logp) == "jeg gik en tur i skoven"
+
+    no_lm = BeamSearchDecoder(vocab, blank_id=blank, word_sep_id=sep)
+    assert no_lm.decode(logp) == "jeg gik en tur i skoves"
+
+
+def test_beam_search_batch(acoustic_vocab):
+    vocab, blank, sep = acoustic_vocab
+    decoder = BeamSearchDecoder(vocab, blank_id=blank, word_sep_id=sep)
+    a = make_logits("hej du", vocab)
+    b = make_logits("god dag", vocab)
+    T = max(len(a), len(b))
+    batch = np.full((2, T, len(vocab)), np.log(1e-8), dtype=np.float32)
+    batch[0, : len(a)] = a
+    batch[1, : len(b)] = b
+    out = decoder.decode_batch(batch, lengths=np.array([len(a), len(b)]))
+    assert out == ["hej du", "god dag"]

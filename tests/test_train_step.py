@@ -36,7 +36,7 @@ def setup():
     return mesh, config, model, params, tx, schedule
 
 
-def make_batch(rng, accum, batch, T=1600, L=8):
+def make_batch(rng, accum, batch, T=6400, L=8):
     return {
         "input_values": rng.standard_normal((accum, batch, T)).astype(np.float32),
         "input_lengths": np.full((accum, batch), T, dtype=np.int32),
@@ -127,9 +127,9 @@ def test_eval_step_greedy_decode(setup):
     rng = np.random.default_rng(2)
     batch = {
         "input_values": jnp.asarray(
-            rng.standard_normal((4, 1600)).astype(np.float32)
+            rng.standard_normal((4, 6400)).astype(np.float32)
         ),
-        "input_lengths": jnp.asarray([1600, 1600, 800, 1600]),
+        "input_lengths": jnp.asarray([6400, 6400, 3200, 6400]),
     }
     pred_ids, frame_lengths = jax.jit(eval_step)(params, batch)
     assert pred_ids.shape[0] == 4

@@ -22,9 +22,9 @@ HF_KW = dict(
     num_hidden_layers=2,
     num_attention_heads=2,
     intermediate_size=64,
-    conv_dim=(16, 16),
-    conv_stride=(5, 2),
-    conv_kernel=(10, 3),
+    conv_dim=(16, 16, 16, 16),
+    conv_stride=(5, 4, 4, 4),
+    conv_kernel=(10, 3, 3, 3),
     conv_bias=True,
     num_conv_pos_embeddings=16,
     num_conv_pos_embedding_groups=2,
@@ -100,11 +100,11 @@ def test_frame_lengths_formula(our_setup):
     _, _, config = our_setup
     lengths = jnp.asarray([16000, 8000, 1600])
     out = config.feat_extract_output_lengths(lengths)
-    # conv stack: k=10 s=5 then k=3 s=2
     expected = []
     for L in [16000, 8000, 1600]:
-        L1 = (L - 10) // 5 + 1
-        expected.append((L1 - 3) // 2 + 1)
+        for k, s in zip(config.conv_kernel, config.conv_stride):
+            L = (L - k) // s + 1
+        expected.append(L)
     np.testing.assert_array_equal(np.asarray(out), expected)
 
 
