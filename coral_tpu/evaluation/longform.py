@@ -1,0 +1,125 @@
+"""Long-form transcription: chunked Whisper inference with overlap merging.
+
+The reference relies on the HF ASR pipeline's chunking for audio longer than the
+model window (reference: ``src/coral/evaluate.py:56-60``, pipeline
+``chunk_length_s``): the waveform is split into overlapping windows, each window
+is transcribed independently, and the token sequences are merged by maximising
+agreement in the overlap. Here the windows are batched into ONE generate call so
+the device sees a single large batch instead of a Python loop.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Callable, Sequence
+
+import numpy as np
+
+logger = logging.getLogger(__package__)
+
+
+def chunk_waveform(
+    audio: np.ndarray, chunk_length: int, stride: int
+) -> list[tuple[int, np.ndarray]]:
+    """Split a 1-D waveform into overlapping windows.
+
+    Args:
+        audio: (T,) waveform.
+        chunk_length: Window size in samples (e.g. 30 s).
+        stride: Overlap on each side, in samples (HF default: chunk / 6).
+
+    Returns:
+        List of (start_offset, window) pairs; the last window may be short.
+    """
+    if len(audio) <= chunk_length:
+        return [(0, audio)]
+    step = chunk_length - 2 * stride
+    assert step > 0, "stride too large for the chunk length"
+    out = []
+    start = 0
+    while start < len(audio):
+        out.append((start, audio[start : start + chunk_length]))
+        if start + chunk_length >= len(audio):
+            break
+        start += step
+    return out
+
+
+def merge_token_sequences(
+    sequences: Sequence[Sequence[int]],
+) -> list[int]:
+    """Merge overlapping token sequences (HF's longest-common-sequence merge).
+
+    For each consecutive pair, every split of the potential overlap is scored by
+    match density; the best split point decides where the left sequence hands
+    over to the right one.
+    """
+    if not sequences:
+        return []
+    merged = list(sequences[0])
+    for nxt in sequences[1:]:
+        nxt = list(nxt)
+        best_score = 0.0
+        best_left = len(merged)
+        best_right = 0
+        max_k = min(len(merged), len(nxt))
+        for k in range(1, max_k + 1):
+            left = merged[-k:]
+            right = nxt[:k]
+            matches = sum(a == b for a, b in zip(left, right))
+            # eps * k prefers longer overlaps at equal density (HF heuristic).
+            score = matches / k + k * 1e-4
+            if matches > 1 and score > best_score:
+                best_score = score
+                best_left = len(merged) - k + (k + 1) // 2
+                best_right = (k + 1) // 2
+        merged = merged[:best_left] + nxt[best_right:]
+    return merged
+
+
+def transcribe_longform(
+    audio: np.ndarray,
+    generate_ids: Callable[[dict], np.ndarray],
+    tokenizer,
+    chunk_seconds: float = 30.0,
+    stride_seconds: float = 5.0,
+    sample_rate: int = 16_000,
+    batch_size: int = 8,
+) -> str:
+    """Transcribe arbitrarily long audio with one batched generate call per
+    ``batch_size`` windows.
+
+    Args:
+        audio: (T,) waveform at ``sample_rate``.
+        generate_ids: Jitted ``(batch dict) -> (B, L) token ids`` (from
+            ``make_whisper_generate_step``), padded batches of fixed shape.
+        tokenizer: Whisper tokenizer for stripping specials + decoding.
+
+    Returns:
+        The merged transcript.
+    """
+    chunk_length = int(chunk_seconds * sample_rate)
+    stride = int(stride_seconds * sample_rate)
+    windows = chunk_waveform(np.asarray(audio, dtype=np.float32), chunk_length,
+                             stride)
+
+    id_sequences: list[list[int]] = []
+    for i in range(0, len(windows), batch_size):
+        group = windows[i : i + batch_size]
+        batch_audio = np.zeros((batch_size, chunk_length), dtype=np.float32)
+        lengths = np.ones((batch_size,), dtype=np.int32)
+        for j, (_, w) in enumerate(group):
+            batch_audio[j, : len(w)] = w
+            lengths[j] = len(w)
+        ids = np.asarray(
+            generate_ids({"input_values": batch_audio, "input_lengths": lengths})
+        )
+        for j in range(len(group)):
+            seq = [
+                int(t) for t in ids[j]
+                if int(t) < tokenizer.first_special_id
+            ]
+            id_sequences.append(seq)
+
+    merged = merge_token_sequences(id_sequences)
+    return tokenizer.bpe.decode(merged).strip()

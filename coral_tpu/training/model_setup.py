@@ -74,6 +74,29 @@ def _find_local_checkpoint(pretrained_model_id: str | None) -> Path | None:
     return None
 
 
+def _augmentation_settings(config: Any, is_main: bool) -> tuple[bool, Any]:
+    """Resolve train-time augmentation (reference trains with the augmentation
+    chain on; ``src/coral/data.py:246-258``) and the optional noise bank."""
+    augment = bool(config.get("augment_audio", True))
+    noise_bank = None
+    noise_path = config.get("background_noise_path")
+    if augment and noise_path is None and config.get("download_noise", False):
+        from ..audio.noise_bank import download_background_noises
+
+        noise_path = download_background_noises(
+            Path(config.get("cache_dir") or Path.home() / ".cache/coral_tpu")
+        )
+    if augment and noise_path:
+        from ..audio.noise_bank import load_noise_bank
+
+        noise_bank = load_noise_bank(
+            noise_path, sample_rate=int(config.model.sampling_rate)
+        )
+        if noise_bank is not None and is_main:
+            logger.info(f"Background-noise bank: {noise_bank.shape}")
+    return augment, noise_bank
+
+
 def _multi_device_layerdrop(layerdrop: float, is_main: bool) -> float:
     """Zero layerdrop on a multi-device mesh, as the reference forces for
     multi-GPU (reference: ``src/scripts/finetune_asr_model.py:47-54``).
@@ -172,11 +195,14 @@ class Wav2Vec2Setup:
     def make_train_step(self, tx, schedule) -> Callable:
         from .train_state import make_ctc_train_step
 
+        augment, noise_bank = _augmentation_settings(self.config, self._is_main)
         return make_ctc_train_step(
             self.model, tx, schedule,
             blank_id=self.blank_id,
             ctc_loss_reduction=self.ctc_loss_reduction,
             freeze_feature_encoder=self.freeze_feature_encoder,
+            augment=augment,
+            noise_bank=noise_bank,
         )
 
     def make_predictor(self, mesh, param_sharding) -> Callable:
@@ -356,12 +382,15 @@ class WhisperSetup:
     def make_train_step(self, tx, schedule) -> Callable:
         from .train_state import make_seq2seq_train_step
 
+        augment, noise_bank = _augmentation_settings(self.config, self._is_main)
         return make_seq2seq_train_step(
             self.model_config, tx, schedule,
             sot_id=self.tokenizer.sot_token_id,
             pad_id=self.tokenizer.pad_token_id,
             chunk_length=self.chunk_length,
             gradient_checkpointing=self.gradient_checkpointing,
+            augment=augment,
+            noise_bank=noise_bank,
         )
 
     def make_predictor(self, mesh, param_sharding) -> Callable:

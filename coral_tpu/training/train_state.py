@@ -48,6 +48,8 @@ def make_ctc_train_step(
     blank_id: int,
     ctc_loss_reduction: str = "sum",
     freeze_feature_encoder: bool = False,
+    augment: bool = False,
+    noise_bank=None,
 ) -> Callable:
     """Build the train step for a CTC model.
 
@@ -57,16 +59,25 @@ def make_ctc_train_step(
     ``label_lengths (A, B)`` with A = gradient-accumulation microbatches. Shard the
     B axis over the data mesh axis.
     """
+    from ..audio.augment import augment_batch
     from ..audio.features import znorm
     from ..ops import ctc_loss
 
-    def microbatch_loss(params, mb, dropout_rng, spec_rng):
+    def microbatch_loss(params, mb, dropout_rng, spec_rng, aug_rng):
+        audio = mb["input_values"]
+        if augment:
+            # The reference's CPU-worker augmentation chain (gain, background/
+            # colored noise, filters; src/coral/data.py:710-738) runs fused
+            # on-device here.
+            audio = augment_batch(
+                aug_rng, audio, mb["input_lengths"], noise_bank=noise_bank
+            )
         # On-device z-norm = HF Wav2Vec2FeatureExtractor(do_normalize=True),
         # which the reference runs on CPU workers (reference:
         # src/coral/data.py:747-751).
         logits, frame_lengths = model.apply(
             {"params": params},
-            znorm(mb["input_values"], mb["input_lengths"]),
+            znorm(audio, mb["input_lengths"]),
             mb["input_lengths"],
             deterministic=False,
             freeze_feature_encoder=freeze_feature_encoder,
@@ -93,7 +104,7 @@ def make_ctc_train_step(
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         num_micro = batch["input_values"].shape[0]
-        rngs = jax.random.split(rng, 2 * num_micro).reshape(num_micro, 2, 2)
+        rngs = jax.random.split(rng, 3 * num_micro).reshape(num_micro, 3, 2)
 
         grad_fn = jax.value_and_grad(microbatch_loss)
 
@@ -101,7 +112,7 @@ def make_ctc_train_step(
             loss_sum, grad_sum = carry
             mb, step_rngs = inputs
             loss, grads = grad_fn(
-                state.params, mb, step_rngs[0], step_rngs[1]
+                state.params, mb, step_rngs[0], step_rngs[1], step_rngs[2]
             )
             return (
                 loss_sum + loss,
@@ -155,6 +166,8 @@ def make_seq2seq_train_step(
     pad_id: int,
     chunk_length: int,
     gradient_checkpointing: bool = False,
+    augment: bool = False,
+    noise_bank=None,
 ) -> Callable:
     """Build the Whisper train step: on-device log-mel -> encoder-decoder -> CE.
 
@@ -166,7 +179,7 @@ def make_seq2seq_train_step(
     waveforms, ``labels (A, B, L)`` with -100 padding; ``T`` must equal
     ``chunk_length`` (30 s for checkpoint parity).
     """
-    from ..audio.augment import peak_normalize
+    from ..audio.augment import augment_batch, peak_normalize
     from ..audio.mel import log_mel_spectrogram
     from ..models import whisper as W
 
@@ -180,7 +193,15 @@ def make_seq2seq_train_step(
         )
         # Waveform peak normalisation (reference: normalise_audio=True in
         # src/coral/data.py:710-715); scale matters for the log-mel floor.
-        audio = peak_normalize(audio)
+        # The augmentation chain peak-normalises before applying gain, so the
+        # two branches stay mutually exclusive.
+        if augment:
+            rng, aug_rng = jax.random.split(rng)
+            audio = augment_batch(
+                aug_rng, audio, mb["input_lengths"], noise_bank=noise_bank
+            )
+        else:
+            audio = peak_normalize(audio)
         feats = log_mel_spectrogram(
             audio, n_mels=model_config.num_mel_bins, dtype=model_config.dtype
         )
