@@ -289,11 +289,20 @@ class EncoderLayer(nn.Module):
         return x, None
 
 
+_REMAT_POLICIES = {
+    # recompute everything (min memory, ~1 extra forward of compute)
+    "nothing_saveable": jax.checkpoint_policies.nothing_saveable,
+    # keep matmul outputs, recompute the cheap elementwise ops (good default)
+    "dots_saveable": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+}
+
+
 class Encoder(nn.Module):
     """Positional conv + scanned transformer stack (+ final LN for stable-LN)."""
 
     config: Wav2Vec2Config
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing_saveable"
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
@@ -311,7 +320,7 @@ class Encoder(nn.Module):
         if self.gradient_checkpointing:
             layer_cls = nn.remat(
                 EncoderLayer, static_argnums=(3,),
-                policy=jax.checkpoint_policies.nothing_saveable,
+                policy=_REMAT_POLICIES[self.remat_policy],
             )
 
         # One compiled layer body, (L, ...) stacked params.
@@ -354,13 +363,15 @@ def _span_mask(
 class Wav2Vec2Model(nn.Module):
     config: Wav2Vec2Config
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing_saveable"
 
     def setup(self):
         cfg = self.config
         self.feature_extractor = FeatureEncoder(cfg, name="feature_extractor")
         self.feature_projection = FeatureProjection(cfg, name="feature_projection")
         self.encoder = Encoder(
-            cfg, gradient_checkpointing=self.gradient_checkpointing, name="encoder"
+            cfg, gradient_checkpointing=self.gradient_checkpointing,
+            remat_policy=self.remat_policy, name="encoder"
         )
         if cfg.apply_spec_augment:
             self.masked_spec_embed = self.param(
@@ -425,11 +436,13 @@ class Wav2Vec2ForCTC(nn.Module):
 
     config: Wav2Vec2Config
     gradient_checkpointing: bool = False
+    remat_policy: str = "nothing_saveable"
 
     def setup(self):
         cfg = self.config
         self.wav2vec2 = Wav2Vec2Model(
-            cfg, gradient_checkpointing=self.gradient_checkpointing, name="wav2vec2"
+            cfg, gradient_checkpointing=self.gradient_checkpointing,
+            remat_policy=self.remat_policy, name="wav2vec2"
         )
         self.lm_head = nn.Dense(cfg.vocab_size, dtype=cfg.dtype, name="lm_head")
         self.dropout = nn.Dropout(cfg.final_dropout)

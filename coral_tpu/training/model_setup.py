@@ -142,6 +142,7 @@ class Wav2Vec2Setup:
         self.model = Wav2Vec2ForCTC(
             self.model_config,
             gradient_checkpointing=bool(config.get("gradient_checkpointing", True)),
+            remat_policy=config.get("remat_policy", "nothing_saveable"),
         )
         self.blank_id = self.tokenizer.pad_token_id
         self.ctc_loss_reduction = model_cfg.get("ctc_loss_reduction", "sum")
