@@ -21,11 +21,11 @@ import numpy as np
 
 A100_REFERENCE_AUDIO_SEC_PER_SEC = 600.0
 
-# Bench shape: 8 x 10s clips per microbatch, 2 accumulation steps.
-BATCH = 8
+# Bench shape: 32 x 10s clips per step (throughput saturates at B>=32 on v5e).
+BATCH = 32
 SECONDS = 10
 SR = 16_000
-ACCUM = 2
+ACCUM = 1
 LABEL_LEN = 128
 VOCAB = 46
 WARMUP_STEPS = 3

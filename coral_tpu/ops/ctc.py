@@ -20,6 +20,7 @@ beyond ``input_lengths`` and labels beyond ``label_lengths`` are masked, not sli
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -27,6 +28,17 @@ import jax.numpy as jnp
 from jax import lax
 
 NEG_INF = -1e30  # large-negative stand-in for -inf that keeps arithmetic NaN-free
+
+
+def _ctc_impl() -> str:
+    """Select the recursion backend: Pallas kernels on TPU, lax.scan elsewhere.
+
+    Override with CORAL_CTC_IMPL in {auto, pallas, pallas_interpret, xla}.
+    """
+    choice = os.environ.get("CORAL_CTC_IMPL", "auto")
+    if choice == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return choice
 
 
 def _extended_labels(labels: jnp.ndarray, blank_id: int) -> jnp.ndarray:
@@ -44,6 +56,20 @@ def _log_add(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     mx = jnp.maximum(a, b)
     mx_safe = jnp.maximum(mx, NEG_INF)
     return mx_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - mx_safe))
+
+
+def _emissions(log_probs: jnp.ndarray, ext: jnp.ndarray) -> jnp.ndarray:
+    """emit[t, b, s] = log_probs[t, b, ext[b, s]] as a one-hot matmul.
+
+    A take_along_axis gather along the vocabulary (lane) dimension is ~30x
+    slower on TPU than this small MXU contraction; measured ~45 ms vs ~2 ms for
+    (T, B, S, V) = (499, 32, 257, 46).
+    """
+    V = log_probs.shape[-1]
+    onehot = jax.nn.one_hot(ext, V, dtype=log_probs.dtype)  # (B, S, V)
+    return jnp.einsum(
+        "tbv,bsv->tbs", log_probs, onehot, precision=lax.Precision.HIGHEST
+    )
 
 
 def _forward_alphas(
@@ -77,10 +103,8 @@ def _forward_alphas(
     positions = jnp.arange(S)[None, :]  # (1, S)
     valid_state = positions < (2 * label_lengths[:, None] + 1)  # (B, S)
 
-    # Emission scores per step: gather log_probs at the extended labels.
-    emit = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[None], (T, B, S)), axis=2
-    )  # (T, B, S)
+    # Emission scores per step: log_probs at the extended labels (MXU one-hot).
+    emit = _emissions(log_probs, ext)  # (T, B, S)
 
     alpha0 = jnp.full((B, S), NEG_INF)
     alpha0 = alpha0.at[:, 0].set(emit[0, :, 0])
@@ -143,9 +167,7 @@ def _backward_betas(
     positions = jnp.arange(S)[None, :]
     valid_state = positions < (2 * label_lengths[:, None] + 1)
 
-    emit = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[None], (T, B, S)), axis=2
-    )  # (T, B, S)
+    emit = _emissions(log_probs, ext)  # (T, B, S)
 
     last = 2 * label_lengths  # (B,)
     # At each sample's final frame t = input_length - 1, beta is emit at the two
@@ -179,6 +201,93 @@ def _backward_betas(
     return betas_rev[::-1]  # (T, B, S)
 
 
+def _forward_alphas_pallas(
+    log_probs, ext, input_lengths, label_lengths, blank_id, interpret=False
+):
+    """Alpha recursion through the Pallas kernel (one launch for all T)."""
+    from .ctc_pallas import alpha_recursion
+
+    T, B, V = log_probs.shape
+    S = ext.shape[1]
+    ext_shift2 = jnp.concatenate(
+        [jnp.full((B, 2), -1, dtype=ext.dtype), ext[:, :-2]], axis=1
+    )
+    can_skip = ((ext != blank_id) & (ext != ext_shift2)).astype(jnp.float32)
+    positions = jnp.arange(S)[None, :]
+    valid_state = (positions < (2 * label_lengths[:, None] + 1)).astype(
+        jnp.float32
+    )
+    # (T, B, S) emissions as one MXU one-hot contraction.
+    emit = _emissions(log_probs, ext).astype(jnp.float32)
+    alphas = alpha_recursion(
+        emit, can_skip, valid_state, input_lengths.astype(jnp.int32),
+        interpret=interpret,
+    )  # (T, B, S)
+
+    final = alphas[-1]
+    last = 2 * label_lengths
+    a_last = jnp.take_along_axis(final, last[:, None], axis=1)[:, 0]
+    a_prev = jnp.where(
+        label_lengths > 0,
+        jnp.take_along_axis(final, jnp.maximum(last - 1, 0)[:, None],
+                            axis=1)[:, 0],
+        NEG_INF,
+    )
+    return alphas, _log_add(a_last, a_prev)
+
+
+def _backward_betas_pallas(
+    log_probs, ext, input_lengths, label_lengths, blank_id, interpret=False
+):
+    """Beta recursion through the Pallas kernel."""
+    from .ctc_pallas import beta_recursion
+
+    T, B, V = log_probs.shape
+    S = ext.shape[1]
+    ext_shift2f = jnp.concatenate(
+        [ext[:, 2:], jnp.full((B, 2), -1, dtype=ext.dtype)], axis=1
+    )
+    can_skip_fwd = ((ext != blank_id) & (ext != ext_shift2f)).astype(
+        jnp.float32
+    )
+    positions = jnp.arange(S)[None, :]
+    valid_state = (positions < (2 * label_lengths[:, None] + 1)).astype(
+        jnp.float32
+    )
+    last = 2 * label_lengths
+    last_state = (
+        (positions == last[:, None])
+        | ((positions == (last - 1)[:, None]) & (label_lengths > 0)[:, None])
+    ).astype(jnp.float32)
+    emit = _emissions(log_probs, ext).astype(jnp.float32)
+    return beta_recursion(
+        emit, can_skip_fwd, valid_state, input_lengths.astype(jnp.int32),
+        last_state, interpret=interpret,
+    )
+
+
+def _dispatch_forward(log_probs, ext, input_lengths, label_lengths, blank_id):
+    impl = _ctc_impl()
+    if impl.startswith("pallas"):
+        return _forward_alphas_pallas(
+            log_probs, ext, input_lengths, label_lengths, blank_id,
+            interpret=impl == "pallas_interpret",
+        )
+    return _forward_alphas(log_probs, ext, input_lengths, label_lengths,
+                           blank_id)
+
+
+def _dispatch_backward(log_probs, ext, input_lengths, label_lengths, blank_id):
+    impl = _ctc_impl()
+    if impl.startswith("pallas"):
+        return _backward_betas_pallas(
+            log_probs, ext, input_lengths, label_lengths, blank_id,
+            interpret=impl == "pallas_interpret",
+        )
+    return _backward_betas(log_probs, ext, input_lengths, label_lengths,
+                           blank_id)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _ctc_neg_log_likelihood(
     log_probs: jnp.ndarray,
@@ -188,13 +297,15 @@ def _ctc_neg_log_likelihood(
     blank_id: int,
 ) -> jnp.ndarray:
     ext = _extended_labels(labels, blank_id)
-    _, logp = _forward_alphas(log_probs, ext, input_lengths, label_lengths, blank_id)
+    _, logp = _dispatch_forward(
+        log_probs, ext, input_lengths, label_lengths, blank_id
+    )
     return -logp
 
 
 def _ctc_fwd(log_probs, labels, input_lengths, label_lengths, blank_id):
     ext = _extended_labels(labels, blank_id)
-    alphas, logp = _forward_alphas(
+    alphas, logp = _dispatch_forward(
         log_probs, ext, input_lengths, label_lengths, blank_id
     )
     residuals = (log_probs, ext, input_lengths, label_lengths, alphas, logp)
@@ -206,11 +317,11 @@ def _ctc_bwd(blank_id, residuals, g):
     T, B, V = log_probs.shape
     S = ext.shape[1]
 
-    betas = _backward_betas(log_probs, ext, input_lengths, label_lengths, blank_id)
-
-    emit = jnp.take_along_axis(
-        log_probs, jnp.broadcast_to(ext[None], (T, B, S)), axis=2
+    betas = _dispatch_backward(
+        log_probs, ext, input_lengths, label_lengths, blank_id
     )
+
+    emit = _emissions(log_probs, ext)
     # gamma_t[s] = log p(all paths through state s at t) = alpha + beta - emit
     gamma = alphas + betas - emit  # (T, B, S)
 
