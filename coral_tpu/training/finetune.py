@@ -61,6 +61,13 @@ def finetune(config: Any) -> dict[str, float]:
     Returns:
         The final metrics (last logged train metrics + last validation scores).
     """
+    # The rbg PRNG generates dropout/SpecAugment bits ~10x faster on TPU than
+    # threefry (measured +9.6% step throughput on v5e) and is the partitionable
+    # choice for SPMD. Must be set before any key is created.
+    jax.config.update(
+        "jax_default_prng_impl", str(config.get("prng_impl", "rbg"))
+    )
+
     is_main = is_main_process()
     setup = load_model_setup(config, is_main=is_main)
     tracking = load_tracking_setup(config) if is_main else None

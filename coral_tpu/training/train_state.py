@@ -104,7 +104,9 @@ def make_ctc_train_step(
 
     def train_step(state: TrainState, batch: dict, rng: jax.Array):
         num_micro = batch["input_values"].shape[0]
-        rngs = jax.random.split(rng, 3 * num_micro).reshape(num_micro, 3, 2)
+        # Tuple-shaped split stays PRNG-implementation-agnostic (rbg keys are
+        # (4,) uint32, threefry (2,)).
+        rngs = jax.random.split(rng, (num_micro, 3))
 
         grad_fn = jax.value_and_grad(microbatch_loss)
 

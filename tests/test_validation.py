@@ -82,3 +82,17 @@ def test_tracking_factory_degrades_gracefully():
     config.experiment_tracking = {"type": "bogus"}
     with pytest.raises(ValueError):
         load_tracking_setup(config)
+
+
+def test_monkeypatched_and_disable_tqdm():
+    from coral_tpu.utils import disable_tqdm, monkeypatched
+
+    class Obj:
+        attr = 1
+
+    with monkeypatched(Obj, "attr", 2):
+        assert Obj.attr == 2
+    assert Obj.attr == 1
+
+    with disable_tqdm():
+        pass  # no tqdm installed or patched cleanly — must not raise
