@@ -64,15 +64,38 @@ def main() -> None:
             audio = resample(audio, in_rate, sample_rate)
 
         T = int(max_seconds * sample_rate)
-        padded = np.zeros((1, T), dtype=np.float32)
-        padded[0, : min(len(audio), T)] = audio[:T]
-        text = predictor(
-            {
-                "input_values": padded,
-                "input_lengths": np.asarray([max(1, min(len(audio), T))],
-                                            dtype=np.int32),
-            }
-        )[0]
+        if len(audio) <= T:
+            padded = np.zeros((1, T), dtype=np.float32)
+            padded[0, : len(audio)] = audio
+            texts = predictor(
+                {
+                    "input_values": padded,
+                    "input_lengths": np.asarray([max(1, len(audio))],
+                                                dtype=np.int32),
+                }
+            )
+            text = texts[0]
+        else:
+            # Recording exceeds the model window: chunk with overlap and merge
+            # (the HF pipeline's long-form role; coral_tpu.evaluation.longform).
+            from coral_tpu.evaluation.longform import chunk_waveform
+
+            stride = T // 6
+            pieces = []
+            for _, window in chunk_waveform(audio, T, stride):
+                padded = np.zeros((1, T), dtype=np.float32)
+                padded[0, : len(window)] = window
+                pieces.append(
+                    predictor(
+                        {
+                            "input_values": padded,
+                            "input_lengths": np.asarray(
+                                [max(1, len(window))], dtype=np.int32
+                            ),
+                        }
+                    )[0]
+                )
+            text = " ".join(pieces)
         if fixer is not None:
             text = fixer.punctuate(text)
         return text

@@ -144,3 +144,36 @@ def test_learning_rate_schedule(setup):
     assert float(schedule(2)) == pytest.approx(1e-3)
     assert float(schedule(20)) == pytest.approx(0.0, abs=1e-9)
     assert float(schedule(10)) < 1e-3
+
+
+def test_sharded_params_train_step(setup):
+    """ZeRO-3-equivalent: parameters sharded over the data axis (XLA inserts
+    all-gathers at each use site)."""
+    mesh, config, model, params, tx, schedule = setup
+    step_fn = make_ctc_train_step(
+        model, tx, schedule, blank_id=BLANK, freeze_feature_encoder=True
+    )
+    state = TrainState.create(jax.tree.map(jnp.copy, params), tx)
+    param_sh = zero_shardings(state.params, mesh, min_size=128)
+    opt_sh = zero_shardings(state.opt_state, mesh, min_size=128)
+    state_sh = TrainState(step=replicated(mesh), params=param_sh,
+                          opt_state=opt_sh)
+    data_sh = batch_sharding(mesh, axis=1)
+    batch_sh = {k: data_sh for k in
+                ("input_values", "input_lengths", "labels", "label_lengths")}
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, replicated(mesh)),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,),
+    )
+    state = jax.device_put(state, state_sh)
+    rng = np.random.default_rng(7)
+    batch = jax.device_put(make_batch(rng, accum=1, batch=8), batch_sh)
+    state, metrics = jitted(state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # at least one parameter leaf is actually sharded
+    shards = [
+        getattr(x.sharding, "spec", P()) for x in jax.tree.leaves(state.params)
+    ]
+    assert any(s != P() for s in shards)
