@@ -78,7 +78,11 @@ def evaluate(config: Any) -> "pandas.DataFrame":  # noqa: F821
         rows, sub_dialect_to_dialect_mapping=dict(config.sub_dialect_to_dialect)
     )
     df["prediction"] = predictions
-    return get_score_df(df=df, categories=["age_group", "gender", "dialect"])
+    return get_score_df(
+        df=df,
+        categories=["age_group", "gender", "dialect"],
+        n_bootstrap=int(config.get("bootstrap_samples", 0) or 0),
+    )
 
 
 def convert_evaluation_rows_to_df(
@@ -214,11 +218,46 @@ def _restore_params(path: Path, setup: Any):
         return ckptr.restore(path.resolve(), abstract)
 
 
+def bootstrap_interval(
+    predictions: list[str],
+    labels: list[str],
+    metric,
+    n_bootstrap: int = 1000,
+    seed: int = 4242,
+) -> tuple[float, float]:
+    """95% bootstrap CI half-width for a corpus metric.
+
+    The reference's published model-card numbers are "1000x bootstrap, 95% CI"
+    (reference: ``MODEL_315M_README.md:37``); this reproduces that methodology
+    for the evaluation CSVs.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = len(predictions)
+    scores = []
+    preds = np.asarray(predictions, dtype=object)
+    labs = np.asarray(labels, dtype=object)
+    for _ in range(n_bootstrap):
+        idx = rng.integers(0, n, n)
+        scores.append(metric(predictions=list(preds[idx]),
+                             labels=list(labs[idx])))
+    lo, hi = np.percentile(scores, [2.5, 97.5])
+    return float(lo), float(hi)
+
+
 def get_score_df(
-    df: "pandas.DataFrame", categories: list[str]  # noqa: F821
+    df: "pandas.DataFrame",  # noqa: F821
+    categories: list[str],
+    n_bootstrap: int = 0,
 ) -> "pandas.DataFrame":  # noqa: F821
     """WER/CER over every demographic combination incl. None marginals
-    (reference: ``src/coral/evaluate.py:161-216``)."""
+    (reference: ``src/coral/evaluate.py:161-216``).
+
+    Args:
+        n_bootstrap: When > 0, adds 95% bootstrap CI columns for the overall
+            (all-None) row, matching the reference's published methodology.
+    """
     import pandas as pd
 
     unique_category_values = [
@@ -240,16 +279,19 @@ def get_score_df(
             continue
 
         named_combination = dict(zip(categories, combination))
+        predictions = list(df_filtered.prediction)
+        labels = list(df_filtered.text)
         score_dict = dict(
-            cer=cer(
-                predictions=list(df_filtered.prediction),
-                labels=list(df_filtered.text),
-            ),
-            wer=wer(
-                predictions=list(df_filtered.prediction),
-                labels=list(df_filtered.text),
-            ),
+            cer=cer(predictions=predictions, labels=labels),
+            wer=wer(predictions=predictions, labels=labels),
         )
+        if n_bootstrap and all(v is None for v in combination):
+            for name, metric in (("cer", cer), ("wer", wer)):
+                lo, hi = bootstrap_interval(
+                    predictions, labels, metric, n_bootstrap=n_bootstrap
+                )
+                score_dict[f"{name}_ci_low"] = lo
+                score_dict[f"{name}_ci_high"] = hi
         records.append(named_combination | score_dict)
 
         combination_str = ", ".join(

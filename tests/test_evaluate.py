@@ -93,3 +93,34 @@ def test_get_score_df_detects_errors():
     ].iloc[0]
     assert overall.wer == pytest.approx(1 / 5)  # 1 substituted word of 5
     assert 0 < overall.cer < 1
+
+
+def test_bootstrap_interval_brackets_score():
+    from coral_tpu.evaluation.evaluate import bootstrap_interval
+    from coral_tpu.evaluation.metrics import wer
+
+    labels = ["hej med dig", "god dag", "farvel igen", "tak for nu"] * 5
+    predictions = ["hej uden dig", "god dag", "farvel igen", "tak for nu"] * 5
+    point = wer(predictions=predictions, labels=labels)
+    lo, hi = bootstrap_interval(predictions, labels, wer, n_bootstrap=200)
+    assert lo <= point <= hi
+    assert 0.0 <= lo < hi <= 1.0
+
+
+def test_get_score_df_with_bootstrap():
+    df = pd.DataFrame(
+        {
+            "age_group": ["0-25"] * 4 + ["50+"] * 4,
+            "gender": ["female", "male"] * 4,
+            "dialect": ["A"] * 8,
+            "text": ["hej med dig", "god dag", "hej igen", "farvel"] * 2,
+            "prediction": ["hej uden dig", "god dag", "hej igen", "farvel"] * 2,
+        }
+    )
+    scores = get_score_df(
+        df, categories=["age_group", "gender", "dialect"], n_bootstrap=50
+    )
+    overall = scores[
+        scores.age_group.isna() & scores.gender.isna() & scores.dialect.isna()
+    ].iloc[0]
+    assert overall.wer_ci_low <= overall.wer <= overall.wer_ci_high
