@@ -160,9 +160,23 @@ def finetune(config: Any) -> dict[str, float]:
     )
 
     def batch_stream():
-        """Endless stream over epochs; each pass re-draws the interleaved order."""
+        """Endless stream over epochs; each pass re-draws the interleaved order.
+
+        Multi-host: every process draws the identical seeded sample order and
+        takes a disjoint stride of it, so the global batch is sharded by host
+        (the role of the reference's DistributedSampler).
+        """
+        rank, world = jax.process_index(), jax.process_count()
+
+        def host_shard(stream):
+            if world == 1:
+                return stream
+            import itertools
+
+            return itertools.islice(stream, rank, None, world)
+
         while True:
-            yield from batcher(splits["train"]())
+            yield from batcher(host_shard(splits["train"]()))
 
     # ---- checkpointing / resume ----------------------------------------------------
     model_dir = Path(config.model_dir)

@@ -110,23 +110,31 @@ def make_ctc_train_step(
 
         grad_fn = jax.value_and_grad(microbatch_loss)
 
-        def accum_step(carry, inputs):
-            loss_sum, grad_sum = carry
-            mb, step_rngs = inputs
+        if num_micro == 1:
+            # No accumulation: skip the scan and the zero-init + add over the
+            # full gradient tree (~58 ms/step for 300M params on v5e).
+            mb = jax.tree.map(lambda x: x[0], batch)
             loss, grads = grad_fn(
-                state.params, mb, step_rngs[0], step_rngs[1], step_rngs[2]
+                state.params, mb, rngs[0, 0], rngs[0, 1], rngs[0, 2]
             )
-            return (
-                loss_sum + loss,
-                jax.tree.map(jnp.add, grad_sum, grads),
-            ), None
+        else:
+            def accum_step(carry, inputs):
+                loss_sum, grad_sum = carry
+                mb, step_rngs = inputs
+                mb_loss, mb_grads = grad_fn(
+                    state.params, mb, step_rngs[0], step_rngs[1], step_rngs[2]
+                )
+                return (
+                    loss_sum + mb_loss,
+                    jax.tree.map(jnp.add, grad_sum, mb_grads),
+                ), None
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (loss_sum, grad_sum), _ = jax.lax.scan(
-            accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
-        )
-        loss = loss_sum / num_micro
-        grads = jax.tree.map(lambda g: g / num_micro, grad_sum)
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
+            )
+            loss = loss_sum / num_micro
+            grads = jax.tree.map(lambda g: g / num_micro, grad_sum)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -233,21 +241,26 @@ def make_seq2seq_train_step(
         rngs = jax.random.split(rng, num_micro)
         grad_fn = jax.value_and_grad(microbatch_loss)
 
-        def accum_step(carry, inputs):
-            loss_sum, grad_sum = carry
-            mb, step_rng = inputs
-            loss, grads = grad_fn(state.params, mb, step_rng)
-            return (
-                loss_sum + loss,
-                jax.tree.map(jnp.add, grad_sum, grads),
-            ), None
+        if num_micro == 1:
+            # No accumulation: skip the scan and the full-tree zero-init + add.
+            mb = jax.tree.map(lambda x: x[0], batch)
+            loss, grads = grad_fn(state.params, mb, rngs[0])
+        else:
+            def accum_step(carry, inputs):
+                loss_sum, grad_sum = carry
+                mb, step_rng = inputs
+                mb_loss, mb_grads = grad_fn(state.params, mb, step_rng)
+                return (
+                    loss_sum + mb_loss,
+                    jax.tree.map(jnp.add, grad_sum, mb_grads),
+                ), None
 
-        zero_grads = jax.tree.map(jnp.zeros_like, state.params)
-        (loss_sum, grad_sum), _ = jax.lax.scan(
-            accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
-        )
-        loss = loss_sum / num_micro
-        grads = jax.tree.map(lambda g: g / num_micro, grad_sum)
+            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
+            )
+            loss = loss_sum / num_micro
+            grads = jax.tree.map(lambda g: g / num_micro, grad_sum)
 
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
