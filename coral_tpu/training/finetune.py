@@ -262,15 +262,33 @@ def finetune(config: Any) -> dict[str, float]:
             f"accumulation = {micro_batch * accum} effective batch size."
         )
 
+    # Profiling hook (SURVEY.md section 5: the reference ships none; xprof
+    # traces are the TPU-native observability tool). `profile_step` starts a
+    # trace at that step for `profile_num_steps` steps, written next to the
+    # checkpoints for xprof/tensorboard.
+    profile_step = config.get("profile_step")
+    profile_num_steps = int(config.get("profile_num_steps", 3))
+    profile_dir = str(model_dir / "profile")
+
     step = start_step
     for batch_seconds, host_batch in batches:
         if step >= max_steps:
             break
+        if profile_step is not None and step == int(profile_step):
+            jax.profiler.start_trace(profile_dir)
         batch = jax.device_put(host_batch, batch_sh)
         state, metrics = jitted_train(
             state, batch, jax.random.fold_in(train_rng, step)
         )
         step += 1
+        if (
+            profile_step is not None
+            and step == int(profile_step) + profile_num_steps
+        ):
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            if is_main:
+                logger.info(f"Wrote profiler trace to {profile_dir}")
         window_audio_seconds += batch_seconds
 
         if step % logging_steps == 0 or step == max_steps:

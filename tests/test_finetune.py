@@ -101,6 +101,8 @@ def test_finetune_whisper_end_to_end(tmp_path, config_path):
             "max_seconds_per_example=5.0",
             "+max_label_length=48",
             "+eval_max_samples=8",
+            "profile_step=1",  # exercise the xprof trace hook
+            "profile_num_steps=1",
             f"model_dir={tmp_path}/model",
         ],
         config_path=config_path,
@@ -109,3 +111,4 @@ def test_finetune_whisper_end_to_end(tmp_path, config_path):
     assert np.isfinite(history["loss"])
     assert 0.0 <= history["val_8_cer"] <= 1.0
     assert (tmp_path / "model" / "model").is_dir()
+    assert (tmp_path / "model" / "profile").is_dir()  # trace hook fired
