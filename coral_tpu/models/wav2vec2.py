@@ -303,6 +303,7 @@ class Encoder(nn.Module):
     config: Wav2Vec2Config
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing_saveable"
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
@@ -323,13 +324,15 @@ class Encoder(nn.Module):
                 policy=_REMAT_POLICIES[self.remat_policy],
             )
 
-        # One compiled layer body, (L, ...) stacked params.
+        # One compiled layer body, (L, ...) stacked params. `unroll` trades
+        # compile time for fewer while-loop iterations / DUS round-trips.
         ScannedLayers = nn.scan(
             layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(nn.broadcast, nn.broadcast),
             length=cfg.num_hidden_layers,
+            unroll=self.scan_unroll,
         )
         x, _ = ScannedLayers(cfg, name="layers")(x, pad_mask, deterministic)
 
@@ -364,6 +367,7 @@ class Wav2Vec2Model(nn.Module):
     config: Wav2Vec2Config
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing_saveable"
+    scan_unroll: int = 1
 
     def setup(self):
         cfg = self.config
@@ -371,7 +375,8 @@ class Wav2Vec2Model(nn.Module):
         self.feature_projection = FeatureProjection(cfg, name="feature_projection")
         self.encoder = Encoder(
             cfg, gradient_checkpointing=self.gradient_checkpointing,
-            remat_policy=self.remat_policy, name="encoder"
+            remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
+            name="encoder"
         )
         if cfg.apply_spec_augment:
             self.masked_spec_embed = self.param(
@@ -437,12 +442,14 @@ class Wav2Vec2ForCTC(nn.Module):
     config: Wav2Vec2Config
     gradient_checkpointing: bool = False
     remat_policy: str = "nothing_saveable"
+    scan_unroll: int = 1
 
     def setup(self):
         cfg = self.config
         self.wav2vec2 = Wav2Vec2Model(
             cfg, gradient_checkpointing=self.gradient_checkpointing,
-            remat_policy=self.remat_policy, name="wav2vec2"
+            remat_policy=self.remat_policy, scan_unroll=self.scan_unroll,
+            name="wav2vec2"
         )
         self.lm_head = nn.Dense(cfg.vocab_size, dtype=cfg.dtype, name="lm_head")
         self.dropout = nn.Dropout(cfg.final_dropout)
