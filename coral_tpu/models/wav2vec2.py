@@ -63,6 +63,11 @@ class Wav2Vec2Config:
     mask_feature_length: int = 64
     # Numerics
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for TPU training)
+    # Attention backend: "xla" (fused by the compiler) or "flash" (Pallas TPU
+    # flash-attention kernel; avoids materialising the (T, T) logits in HBM).
+    # Measured on v5e at T=499/head_dim=64 (10 s clips): xla 538 audio-s/s vs
+    # flash 321 — the kernel only pays off at much longer sequences.
+    attention_impl: str = "xla"
 
     @classmethod
     def xls_r_300m(cls, vocab_size: int = 46, **kw) -> "Wav2Vec2Config":
@@ -219,6 +224,47 @@ class PositionalConvEmbedding(nn.Module):
         return jax.nn.gelu(out, approximate=False)
 
 
+def _flash_attention(q, k, v, pad_mask, head_dim: int):
+    """Pallas TPU flash attention with padding handled via segment ids.
+
+    Inputs are (B, T, H, d); the kernel wants (B, H, T, d) with T padded to the
+    block size. Padding tokens get segment id 0 (valid = 1), so queries never
+    attend across the boundary; padded outputs are sliced away.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, T, H, d = q.shape
+    block = 128
+    Tp = -(-T // block) * block
+    pad = Tp - T
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # (B, H, T, d)
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+
+    ids = jnp.pad(pad_mask.astype(jnp.int32), ((0, 0), (0, pad)))
+    sizes = BlockSizes(
+        block_q=min(block, Tp), block_k_major=min(block, Tp),
+        block_k=min(block, Tp), block_b=1,
+        block_q_major_dkv=min(block, Tp), block_k_major_dkv=min(block, Tp),
+        block_k_dkv=min(block, Tp), block_q_dkv=min(block, Tp),
+        block_k_major_dq=min(block, Tp), block_k_dq=min(block, Tp),
+        block_q_dq=min(block, Tp),
+    )
+    out = flash_attention(
+        prep(q), prep(k), prep(v),
+        segment_ids=SegmentIds(q=ids, kv=ids),
+        causal=False,
+        sm_scale=float(head_dim) ** -0.5,
+        block_sizes=sizes,
+    )
+    return jnp.transpose(out[:, :, :T, :], (0, 2, 1, 3))
+
+
 class Attention(nn.Module):
     config: Wav2Vec2Config
 
@@ -236,9 +282,14 @@ class Attention(nn.Module):
         k = proj("k_proj")(x).reshape(B, T, H, head_dim)
         v = proj("v_proj")(x).reshape(B, T, H, head_dim)
 
-        # (B, T) padding mask -> additive bias broadcast over heads/queries
-        bias = jnp.where(pad_mask[:, None, None, :], 0.0, -1e30).astype(cfg.dtype)
-        out = jax.nn.dot_product_attention(q, k, v, bias=bias)
+        if cfg.attention_impl == "flash":
+            out = _flash_attention(q, k, v, pad_mask, head_dim)
+        else:
+            # (B, T) padding mask -> additive bias broadcast over heads/queries
+            bias = jnp.where(
+                pad_mask[:, None, None, :], 0.0, -1e30
+            ).astype(cfg.dtype)
+            out = jax.nn.dot_product_attention(q, k, v, bias=bias)
         out = out.reshape(B, T, D)
         out = proj("out_proj")(out)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
