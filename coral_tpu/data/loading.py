@@ -304,6 +304,4 @@ def load_dataset_for_evaluation(config: Any) -> SourceFactory:
             hfds.Dataset.from_list(rows).save_to_disk(str(cache_path))
         yield from rows
 
-    if cache_path is not None and cache_path.exists():
-        return hub_factory
-    return lambda: hub_factory()
+    return hub_factory
