@@ -57,14 +57,18 @@ def make_raw_source(
     if dataset_id.startswith("synthetic://"):
         n = int(dataset_id.split("://")[1])
 
-        def synthetic_factory() -> Iterable[dict]:
-            return make_synthetic_examples(n=n, seed=seed)
+        def synthetic_factory(epoch: int = 0) -> Iterable[dict]:
+            import numpy as np
+
+            examples = make_synthetic_examples(n=n, seed=seed)
+            order = np.random.default_rng(seed + epoch).permutation(len(examples))
+            return [examples[i] for i in order]
 
         return synthetic_factory
 
     if Path(dataset_id).exists():
 
-        def local_factory() -> Iterable[dict]:
+        def local_factory(epoch: int = 0) -> Iterable[dict]:
             import datasets as hfds
 
             path = Path(dataset_id)
@@ -81,11 +85,11 @@ def make_raw_source(
                 ds = hfds.load_dataset(
                     str(path), name=subset, split=split, cache_dir=cache_dir
                 )
-            return iter(ds.shuffle(seed=seed))
+            return iter(ds.shuffle(seed=seed + epoch))
 
         return local_factory
 
-    def hub_factory() -> Iterable[dict]:
+    def hub_factory(epoch: int = 0) -> Iterable[dict]:
         import datasets as hfds
 
         ds = hfds.load_dataset(
@@ -97,9 +101,9 @@ def make_raw_source(
             token=os.getenv("HUGGINGFACE_HUB_TOKEN", True),
         )
         if streaming:
-            ds = ds.shuffle(seed=seed, buffer_size=1000)
+            ds = ds.shuffle(seed=seed + epoch, buffer_size=1000)
         else:
-            ds = ds.shuffle(seed=seed)
+            ds = ds.shuffle(seed=seed + epoch)
         return iter(ds)
 
     return hub_factory
@@ -139,8 +143,8 @@ def make_processed_source(
         target_sample_rate=config.model.sampling_rate,
     )
 
-    def factory() -> Iterator[dict]:
-        for example in raw():
+    def factory(epoch: int = 0) -> Iterator[dict]:
+        for example in raw(epoch):
             example = _rename_columns(example, text_col, audio_col)
             if should_filter and not filter_example(
                 example,
@@ -193,9 +197,14 @@ def load_data_for_finetuning(config: Any, tokenizer) -> dict[str, SourceFactory]
             "datasets will be sampled equally often, oversampling the smaller ones."
         )
 
-    def train_factory() -> Iterable[dict]:
+    def train_factory(epoch: int = 0) -> Iterable[dict]:
+        # Per-epoch reseeding re-draws both the per-source shuffles and the
+        # interleaving order every pass, the role of the reference's per-epoch
+        # dataloader shuffling.
         return interleave_iterables(
-            train_sources, probabilities=probabilities, seed=config.seed,
+            [lambda src=src: src(epoch) for src in train_sources],
+            probabilities=probabilities,
+            seed=config.seed + epoch,
             stopping_strategy="all_exhausted",
         )
 

@@ -175,8 +175,10 @@ def finetune(config: Any) -> dict[str, float]:
 
             return itertools.islice(stream, rank, None, world)
 
+        epoch = 0
         while True:
-            yield from batcher(host_shard(splits["train"]()))
+            yield from batcher(host_shard(splits["train"](epoch)))
+            epoch += 1
 
     # ---- checkpointing / resume ----------------------------------------------------
     model_dir = Path(config.model_dir)

@@ -245,3 +245,24 @@ class TestLoadDataForFinetuning:
         with pytest.raises(ValueError, match="sum to 1"):
             splits = load_data_for_finetuning(cfg, tok)
             list(splits["train"]())
+
+
+def test_train_factory_reshuffles_per_epoch(config_path):
+    from coral_tpu.config import compose
+    from coral_tpu.data.loading import load_data_for_finetuning
+    from coral_tpu.text.tokenizer import CtcTokenizer
+
+    config = compose(
+        "asr_finetuning",
+        overrides=["model=test-wav2vec2", "datasets=[synthetic]",
+                   "evaluation_datasets=[]", "max_seconds_per_example=5.0"],
+        config_path=config_path,
+    )
+    tokenizer = CtcTokenizer.from_characters(config.model.characters_to_keep)
+    splits = load_data_for_finetuning(config, tokenizer)
+    epoch0 = [s["text"] for s in splits["train"](0)]
+    epoch0_again = [s["text"] for s in splits["train"](0)]
+    epoch1 = [s["text"] for s in splits["train"](1)]
+    assert epoch0 == epoch0_again  # deterministic within an epoch
+    assert sorted(epoch0) == sorted(epoch1)  # same multiset of samples
+    assert epoch0 != epoch1  # different order across epochs
