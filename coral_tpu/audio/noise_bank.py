@@ -11,7 +11,6 @@ CPU decoding.
 from __future__ import annotations
 
 import logging
-import os
 import zipfile
 from pathlib import Path
 

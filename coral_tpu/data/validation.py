@@ -11,7 +11,7 @@ by the framework's jitted batched predictor.
 from __future__ import annotations
 
 import logging
-from typing import Any, Callable, Iterable, Iterator
+from typing import Callable, Iterable, Iterator
 
 from ..evaluation.metrics import cer, wer
 from .processing import filter_example, process_example

@@ -16,7 +16,6 @@ over a device mesh:
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Callable
 
 import jax

@@ -18,8 +18,6 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
-import numpy as np
-
 logger = logging.getLogger("ftspeech_builder")
 
 SPLIT_TSVS = {

@@ -67,7 +67,6 @@ def main() -> None:
     import matplotlib
 
     matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
 
     ax = pivot.plot.bar(figsize=(10, 6), rot=30)
     ax.set_ylabel(args.metric.upper())
