@@ -53,6 +53,10 @@ def _lib() -> ctypes.CDLL:
     ]
     lib.coral_ngram_load.restype = ctypes.c_void_p
     lib.coral_ngram_load.argtypes = [ctypes.c_char_p]
+    lib.coral_ngram_load_any.restype = ctypes.c_void_p
+    lib.coral_ngram_load_any.argtypes = [ctypes.c_char_p]
+    lib.coral_ngram_save_binary.restype = ctypes.c_int
+    lib.coral_ngram_save_binary.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
     lib.coral_ngram_free.argtypes = [ctypes.c_void_p]
     lib.coral_ngram_order.restype = ctypes.c_int
     lib.coral_ngram_order.argtypes = [ctypes.c_void_p]
@@ -86,9 +90,10 @@ class NGramModel:
 
     def __init__(self, arpa_path: str | Path) -> None:
         self.arpa_path = Path(arpa_path)
-        self._handle = _lib().coral_ngram_load(str(arpa_path).encode())
+        # Accepts either format: ARPA text or the compact binary (magic-sniffed).
+        self._handle = _lib().coral_ngram_load_any(str(arpa_path).encode())
         if not self._handle:
-            raise FileNotFoundError(f"Could not load ARPA model: {arpa_path}")
+            raise FileNotFoundError(f"Could not load LM: {arpa_path}")
         self.order = _lib().coral_ngram_order(self._handle)
 
     @classmethod
@@ -110,6 +115,14 @@ class NGramModel:
         if rc != 0:
             raise RuntimeError(f"n-gram training failed with code {rc}")
         return cls(arpa_path)
+
+    def save_binary(self, path: str | Path) -> Path:
+        """Serialise to the compact binary format (the reference's
+        ``build_binary`` step, reference: ``src/coral/ngram.py:361-384``)."""
+        rc = _lib().coral_ngram_save_binary(self._handle, str(path).encode())
+        if rc != 0:
+            raise RuntimeError(f"binary serialisation failed with code {rc}")
+        return Path(path)
 
     def logprob(self, word: str, context: str = "") -> float:
         """log10 P(word | context words)."""

@@ -47,7 +47,10 @@ def train_and_store_ngram_model(config: Any) -> Path | None:
     corpus_path = get_sentence_corpus_path(config)
     logger.info("Training n-gram language model...")
     prune = [0] + [1] * (num_ngrams - 1)  # lmplz-compatible (ngram.py:127)
-    NGramModel.train(corpus_path, arpa_path, order=num_ngrams, prune=prune)
+    lm = NGramModel.train(corpus_path, arpa_path, order=num_ngrams, prune=prune)
+    # Compact binary alongside the ARPA (the reference's build_binary step,
+    # ngram.py:361-384); the decoder loads either.
+    lm.save_binary(arpa_path.with_suffix(".bin"))
     logger.info(f"Trained n-gram language model stored at {arpa_path}")
     return arpa_path
 

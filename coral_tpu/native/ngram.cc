@@ -470,3 +470,116 @@ float coral_ngram_sentence_logprob(void* handle, const char* sentence) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------------
+// Binary serialisation (the `build_binary` role: fast mmap-free load, compact file)
+// ---------------------------------------------------------------------------------
+
+namespace coral {
+
+static const uint32_t kBinaryMagic = 0x434f4c4d;  // "COLM"
+static const uint32_t kBinaryVersion = 1;
+
+int SaveBinary(const Model& model, const char* path) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  auto w32 = [&](uint32_t v) { std::fwrite(&v, 4, 1, f); };
+  w32(kBinaryMagic);
+  w32(kBinaryVersion);
+  w32(static_cast<uint32_t>(model.order));
+  w32(static_cast<uint32_t>(model.vocab.words.size()));
+  for (const auto& word : model.vocab.words) {
+    w32(static_cast<uint32_t>(word.size()));
+    std::fwrite(word.data(), 1, word.size(), f);
+  }
+  for (int n = 1; n <= model.order; ++n) {
+    const auto& table = model.tables[n - 1];
+    w32(static_cast<uint32_t>(table.size()));
+    for (const auto& kv : table) {
+      std::fwrite(kv.first.data(), 1, n * sizeof(WordId), f);
+      std::fwrite(&kv.second.logprob, 4, 1, f);
+      std::fwrite(&kv.second.backoff, 4, 1, f);
+    }
+  }
+  std::fclose(f);
+  return 0;
+}
+
+Model* LoadBinary(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  auto r32 = [&]() -> uint32_t {
+    uint32_t v = 0;
+    if (std::fread(&v, 4, 1, f) != 1) return 0;
+    return v;
+  };
+  if (r32() != kBinaryMagic || r32() != kBinaryVersion) {
+    std::fclose(f);
+    return nullptr;
+  }
+  auto model = new Model();
+  model->order = static_cast<int>(r32());
+  uint32_t vocab_size = r32();
+  model->vocab.words.reserve(vocab_size);
+  std::string buf;
+  for (uint32_t i = 0; i < vocab_size; ++i) {
+    uint32_t len = r32();
+    buf.resize(len);
+    if (len && std::fread(&buf[0], 1, len, f) != len) {
+      std::fclose(f);
+      delete model;
+      return nullptr;
+    }
+    model->vocab.ids.emplace(buf, i);
+    model->vocab.words.push_back(buf);
+  }
+  model->tables.resize(model->order);
+  std::string key;
+  for (int n = 1; n <= model->order; ++n) {
+    uint32_t count = r32();
+    auto& table = model->tables[n - 1];
+    table.reserve(count);
+    key.resize(n * sizeof(WordId));
+    for (uint32_t i = 0; i < count; ++i) {
+      Entry e;
+      if (std::fread(&key[0], 1, key.size(), f) != key.size() ||
+          std::fread(&e.logprob, 4, 1, f) != 1 ||
+          std::fread(&e.backoff, 4, 1, f) != 1) {
+        std::fclose(f);
+        delete model;
+        return nullptr;
+      }
+      table.emplace(key, e);
+    }
+  }
+  std::fclose(f);
+  int bos = model->vocab.Find(kBOS);
+  int eos = model->vocab.Find(kEOS);
+  int unk = model->vocab.Find(kUNK);
+  model->bos = bos >= 0 ? bos : model->vocab.GetOrAdd(kBOS);
+  model->eos = eos >= 0 ? eos : model->vocab.GetOrAdd(kEOS);
+  model->unk = unk >= 0 ? unk : model->vocab.GetOrAdd(kUNK);
+  return model;
+}
+
+}  // namespace coral
+
+extern "C" {
+
+// Serialise a loaded model to the compact binary format (`build_binary` role).
+int coral_ngram_save_binary(void* handle, const char* path) {
+  return coral::SaveBinary(*static_cast<coral::Model*>(handle), path);
+}
+
+// Load either format: binary (magic-sniffed) or ARPA text.
+void* coral_ngram_load_any(const char* path) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  uint32_t magic = 0;
+  size_t n = std::fread(&magic, 4, 1, f);
+  std::fclose(f);
+  if (n == 1 && magic == coral::kBinaryMagic) return coral::LoadBinary(path);
+  return coral::LoadArpa(path);
+}
+
+}  // extern "C"

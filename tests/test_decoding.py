@@ -137,3 +137,21 @@ def test_beam_search_batch(acoustic_vocab):
     batch[1, : len(b)] = b
     out = decoder.decode_batch(batch, lengths=np.array([len(a), len(b)]))
     assert out == ["hej du", "god dag"]
+
+
+def test_binary_roundtrip(lm, tmp_path):
+    """The compact binary format (the build_binary role) loads identically."""
+    bin_path = lm.save_binary(tmp_path / "3gram.bin")
+    assert bin_path.exists()
+    reloaded = NGramModel(bin_path)
+    assert reloaded.order == lm.order
+    for ctx, word in [("", "jeg"), ("jeg", "gik"), ("gik en", "tur"),
+                      ("", "<unk>")]:
+        assert reloaded.logprob(word, ctx) == pytest.approx(
+            lm.logprob(word, ctx), abs=1e-6
+        )
+    assert reloaded.sentence_logprob("jeg gik en tur") == pytest.approx(
+        lm.sentence_logprob("jeg gik en tur"), abs=1e-5
+    )
+    # binary is smaller than the ARPA text
+    assert bin_path.stat().st_size < lm.arpa_path.stat().st_size
