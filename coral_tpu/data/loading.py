@@ -214,18 +214,39 @@ def load_data_for_finetuning(config: Any, tokenizer) -> dict[str, SourceFactory]
         split_name = f"val_{ds_cfg['id'].split('/')[-1].lower().replace('-', '_')}"
         if ds_cfg.get("subset"):
             split_name += f"_{ds_cfg['subset'].lower().replace('-', '_')}"
-        splits[split_name] = make_processed_source(
-            ds_cfg,
-            ds_cfg.get("val_name", "val"),
-            config,
-            tokenizer,
-            lower_case=config.evaluation_lower_case,
-            characters_to_keep=config.evaluation_characters_to_keep,
-            convert_numerals=False,
-            seed=config.seed,
+        splits[split_name] = MemoizedSource(
+            make_processed_source(
+                ds_cfg,
+                ds_cfg.get("val_name", "val"),
+                config,
+                tokenizer,
+                lower_case=config.evaluation_lower_case,
+                characters_to_keep=config.evaluation_characters_to_keep,
+                convert_numerals=False,
+                seed=config.seed,
+            )
         )
 
     return splits
+
+
+class MemoizedSource:
+    """Materialise a processed split on first use; iterate from memory after.
+
+    The reference materialises validation splits to an arrow disk cache so that
+    repeated evals don't re-stream from the Hub (reference:
+    ``src/coral/data.py:266-337``, ``utils.py:101``); the in-memory equivalent
+    serves the periodic training-time validation passes.
+    """
+
+    def __init__(self, factory: SourceFactory) -> None:
+        self._factory = factory
+        self._cache: list[dict] | None = None
+
+    def __call__(self, epoch: int = 0) -> Iterator[dict]:
+        if self._cache is None:
+            self._cache = list(self._factory())
+        return iter(self._cache)
 
 
 def interpret_dataset_name(dataset_name: str) -> tuple[str, str | None, str | None]:
