@@ -2,5 +2,12 @@
 
 from .mesh import create_mesh
 from .sharding import batch_sharding, replicated, zero_shardings
+from .tp import tp_shardings
 
-__all__ = ["create_mesh", "batch_sharding", "replicated", "zero_shardings"]
+__all__ = [
+    "batch_sharding",
+    "create_mesh",
+    "replicated",
+    "tp_shardings",
+    "zero_shardings",
+]

@@ -113,18 +113,24 @@ def finetune(config: Any) -> dict[str, float]:
     init_rng, train_rng = jax.random.split(rng)
     state = TrainState.create(setup.init_params(init_rng), tx)
 
-    # Parameter sharding (ZeRO-3 equivalent) for checkpoints that don't fit
-    # replicated (XLS-R 1B/2B): shard large leaves over the data axis and let
-    # XLA insert the all-gathers where each parameter is consumed.
-    if config.get("shard_params", False):
-        param_sh = zero_shardings(state.params, mesh)
+    # Parameter sharding. Priority: tensor parallelism when the mesh has a
+    # model axis (Megatron-style specs; GSPMD inserts the collectives), else
+    # ZeRO-3-equivalent data-axis sharding when requested, else replicated.
+    if mesh.shape["model"] > 1:
+        from ..parallel import tp_shardings
+
+        param_sh = tp_shardings(state.params, mesh)
+        opt_sh = tp_shardings(state.opt_state, mesh)
     else:
-        param_sh = jax.tree.map(lambda _: replicated(mesh), state.params)
-    opt_sh = (
-        zero_shardings(state.opt_state, mesh)
-        if config.get("shard_optimizer_state", True)
-        else jax.tree.map(lambda _: replicated(mesh), state.opt_state)
-    )
+        if config.get("shard_params", False):
+            param_sh = zero_shardings(state.params, mesh)
+        else:
+            param_sh = jax.tree.map(lambda _: replicated(mesh), state.params)
+        opt_sh = (
+            zero_shardings(state.opt_state, mesh)
+            if config.get("shard_optimizer_state", True)
+            else jax.tree.map(lambda _: replicated(mesh), state.opt_state)
+        )
     state_sh = TrainState(step=replicated(mesh), params=param_sh, opt_state=opt_sh)
     data_sh = batch_sharding(mesh, axis=1)
     batch_sh = {
