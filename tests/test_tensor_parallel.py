@@ -123,3 +123,20 @@ def test_tp_matches_dp_one_step(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-5
         )
+
+
+def test_tp_specs_for_whisper_params():
+    from coral_tpu.models.whisper import WhisperConfig, init_whisper_params
+
+    config = WhisperConfig.tiny_test(vocab_size=64)
+    params = init_whisper_params(jax.random.PRNGKey(0), config)
+    mesh = create_mesh((2, 4))
+    shardings = tp_shardings(params, mesh)
+    dec = shardings["decoder"]["layers"]
+    assert dec["self_attn"]["q_proj"]["kernel"].spec == P(None, None, "model")
+    assert dec["self_attn"]["out_proj"]["kernel"].spec == P(None, "model", None)
+    assert dec["encoder_attn"]["k_proj"]["kernel"].spec == P(None, None, "model")
+    assert dec["fc1"]["kernel"].spec == P(None, None, "model")
+    assert dec["fc2"]["kernel"].spec == P(None, "model", None)
+    assert shardings["decoder"]["embed_tokens"].spec == P()
+    assert shardings["decoder"]["layer_norm"]["scale"].spec == P()
