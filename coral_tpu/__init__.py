@@ -7,3 +7,12 @@ decoding, n-gram language modelling and the data pipeline are implemented native
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy: the pipeline pulls in jax; keep bare `import coral_tpu` light.
+    if name == "ASRPipeline":
+        from .pipeline import ASRPipeline
+
+        return ASRPipeline
+    raise AttributeError(name)
