@@ -56,3 +56,27 @@ def test_pipeline_transcribes_arrays_and_batches(trained_model_dir):
     # streaming interface
     outputs = list(asr.transcribe_stream([clip] * 5))
     assert len(outputs) == 5
+
+
+def test_pipeline_uses_stored_ngram_decoder(trained_model_dir):
+    """With an ARPA stored next to the model, the beam+LM path engages."""
+    from coral_tpu.decoding import NGramModel
+    from coral_tpu.pipeline import ASRPipeline
+
+    corpus = trained_model_dir / "corpus.txt"
+    corpus.write_text(
+        "\n".join(["hej med dig", "god dag", "jeg gik en tur"] * 3),
+        encoding="utf-8",
+    )
+    NGramModel.train(corpus, trained_model_dir / "3gram.arpa", order=3)
+
+    asr = ASRPipeline(trained_model_dir, batch_size=2)
+    rng = np.random.default_rng(1)
+    clip = (rng.standard_normal(16_000) * 0.1).astype(np.float32)
+    out = asr.transcribe_batch([clip, clip])
+    assert len(out) == 2 and all(isinstance(t, str) for t in out)
+
+    # no_lm switches back to greedy decoding
+    asr_greedy = ASRPipeline(trained_model_dir, batch_size=2, no_lm=True)
+    out2 = asr_greedy.transcribe_batch([clip])
+    assert isinstance(out2[0], str)
