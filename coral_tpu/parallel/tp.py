@@ -73,3 +73,37 @@ def tp_shardings(tree, mesh: Mesh):
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(leaf_sharding, tree)
+
+
+def tp_zero_shardings(tree, mesh: Mesh, min_size: int = 2**14):
+    """2D sharding for optimizer state under tensor parallelism.
+
+    TP-matched leaves keep their Megatron specs; everything else large enough
+    shards its leading dimension over the data axis (the ZeRO-2 role), so the
+    Adam moments never replicate across either mesh axis unnecessarily.
+    """
+    from .mesh import AXIS_DATA
+
+    dp = mesh.shape[AXIS_DATA]
+    mp = mesh.shape[AXIS_MODEL]
+
+    def leaf_sharding(path, leaf):
+        path_str = jax.tree_util.keystr(path)
+        shape = getattr(leaf, "shape", ())
+        spec = _spec_for(path_str, len(shape))
+        ok = all(
+            axis is None or shape[dim] % mp == 0
+            for dim, axis in enumerate(spec)
+        )
+        if ok and any(axis is not None for axis in spec):
+            return NamedSharding(mesh, spec)
+        size = 1
+        for dim in shape:
+            size *= dim
+        if shape and size >= min_size and shape[0] % dp == 0:
+            return NamedSharding(
+                mesh, P(*([AXIS_DATA] + [None] * (len(shape) - 1)))
+            )
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, tree)

@@ -118,9 +118,16 @@ def finetune(config: Any) -> dict[str, float]:
     # ZeRO-3-equivalent data-axis sharding when requested, else replicated.
     if mesh.shape["model"] > 1:
         from ..parallel import tp_shardings
+        from ..parallel.tp import tp_zero_shardings
 
         param_sh = tp_shardings(state.params, mesh)
-        opt_sh = tp_shardings(state.opt_state, mesh)
+        # 2D: Megatron specs where they apply, ZeRO over the data axis for the
+        # remaining large optimizer leaves.
+        opt_sh = (
+            tp_zero_shardings(state.opt_state, mesh)
+            if config.get("shard_optimizer_state", True)
+            else tp_shardings(state.opt_state, mesh)
+        )
     else:
         if config.get("shard_params", False):
             param_sh = zero_shardings(state.params, mesh)

@@ -140,3 +140,49 @@ def test_tp_specs_for_whisper_params():
     assert dec["fc2"]["kernel"].spec == P(None, "model", None)
     assert shardings["decoder"]["embed_tokens"].spec == P()
     assert shardings["decoder"]["layer_norm"]["scale"].spec == P()
+
+
+def test_tp_zero_2d_opt_state_matches_dp(setup):
+    """TP params + ZeRO-over-data optimizer state: still DP-equivalent."""
+    from coral_tpu.parallel.tp import tp_zero_shardings
+    from coral_tpu.training import TrainState as TS
+
+    _, model, params = setup
+    rng = np.random.default_rng(5)
+    batch_np = make_batch(rng, batch=8)
+    dp_loss, dp_params = run_one_step(
+        create_mesh((8, 1)), model, params, batch_np, tp=False
+    )
+
+    mesh = create_mesh((2, 4))
+    tx, schedule = create_optimizer(learning_rate=1e-3, warmup_steps=2,
+                                    max_steps=20)
+    state = TS.create(jax.tree.map(jnp.copy, params), tx)
+    param_sh = tp_shardings(state.params, mesh)
+    opt_sh = tp_zero_shardings(state.opt_state, mesh, min_size=128)
+    state_sh = TS(step=replicated(mesh), params=param_sh, opt_state=opt_sh)
+    data_sh = batch_sharding(mesh, axis=1)
+    batch_sh = {k: data_sh for k in batch_np}
+    step_fn = make_ctc_train_step(
+        model, tx, schedule, blank_id=BLANK, freeze_feature_encoder=True
+    )
+    jitted = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, batch_sh, replicated(mesh)),
+        out_shardings=(state_sh, None),
+    )
+    state = jax.device_put(state, state_sh)
+    batch = jax.device_put(batch_np, batch_sh)
+    state, metrics = jitted(state, batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]), dp_loss, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(dp_params),
+                    jax.tree.leaves(jax.device_get(state.params))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    # some Adam moment actually lands on the data axis
+    specs = [
+        getattr(x.sharding, "spec", P())
+        for x in jax.tree.leaves(state.opt_state)
+        if hasattr(x, "sharding")
+    ]
+    assert any("data" in str(s) for s in specs)
