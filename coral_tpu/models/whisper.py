@@ -578,9 +578,17 @@ def greedy_generate(
     cache = init_self_cache(config, B, max_length)
 
     tokens0 = jnp.full((B,), forced_ids[0], dtype=jnp.int32)
+    # Output buffer pre-filled with EOS; positions past early exit stay EOS.
+    buffer0 = jnp.full((B, max_length), eos_id, dtype=jnp.int32)
+    buffer0 = buffer0.at[:, 0].set(tokens0)
 
-    def step(carry, pos):
-        tokens, cache, finished = carry
+    def cond(carry):
+        pos, _, _, _, finished = carry
+        # Early exit once every row has emitted EOS (after the forced prompt).
+        return (pos < max_length - 1) & ~jnp.all(finished)
+
+    def body(carry):
+        pos, tokens, buffer, cache, finished = carry
         logits, cache = decode_step(params, config, tokens, pos, cache, cross_kv)
         if suppress_ids is not None:
             logits = logits.at[:, suppress_ids].set(-jnp.inf)
@@ -593,11 +601,14 @@ def greedy_generate(
         )
         next_token = jnp.where(finished, eos_id, next_token)
         finished = finished | (next_token == eos_id)
-        return (next_token, cache, finished), next_token
+        buffer = jax.lax.dynamic_update_slice(
+            buffer, next_token[:, None], (0, pos + 1)
+        )
+        return pos + 1, next_token, buffer, cache, finished
 
-    positions = jnp.arange(max_length - 1)
     finished0 = jnp.zeros((B,), dtype=bool)
-    _, out_tokens = jax.lax.scan(step, (tokens0, cache, finished0), positions)
-    return jnp.concatenate(
-        [tokens0[None, :], out_tokens], axis=0
-    ).T  # (B, max_length)
+    _, _, out, _, _ = jax.lax.while_loop(
+        cond, body, (jnp.asarray(0, jnp.int32), tokens0, buffer0, cache,
+                     finished0)
+    )
+    return out  # (B, max_length), EOS-padded
