@@ -427,6 +427,12 @@ def compose(
     base = Path(config_path) if config_path is not None else _CONFIG_PATH
     if base is None:
         base = Path("config")
+        if not base.is_dir():
+            # Library use from outside the repo: fall back to the config tree
+            # shipped alongside the package.
+            repo_config = Path(__file__).resolve().parents[2] / "config"
+            if repo_config.is_dir():
+                base = repo_config
     overrides = list(overrides or [])
 
     # Split overrides into group selections vs value overrides. A key is a group

@@ -86,6 +86,12 @@ def clean_transcription(
 
     Returns:
         The cleaned transcription.
+
+    Example:
+        >>> clean_transcription("Hej, Verden!", characters_to_keep="abcdefghijklmnopqrstuvwxyzæøå")
+        'hej verden'
+        >>> clean_transcription("øhm ja", characters_to_keep=None)
+        'ja'
     """
     if conversion_dict is None:
         conversion_dict = DEFAULT_CONVERSION_DICT

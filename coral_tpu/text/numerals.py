@@ -45,6 +45,14 @@ def convert_numeral_to_words(numeral: str, inside_larger_numeral: bool = False) 
 
     Returns:
         The Danish words, or the input unchanged if it is not a valid numeral.
+
+    Example:
+        >>> convert_numeral_to_words("21")
+        'enogtyve'
+        >>> convert_numeral_to_words("1.100")
+        'et tusind et hundrede'
+        >>> convert_numeral_to_words("ikke-et-tal")
+        'ikke-et-tal'
     """
     if re.fullmatch(NUMERAL_REGEX, numeral) is None:
         return numeral
@@ -129,6 +137,10 @@ def convert_numerals_in_text(text: str) -> str:
 
     Mirrors the eval-path behaviour of the reference's ``process_example``
     (reference: ``src/coral/data.py:660-665``).
+
+    Example:
+        >>> convert_numerals_in_text("han er 2 år")
+        'han er to år'
     """
     if re.search(NUMERAL_REGEX, text) is None:
         return text
