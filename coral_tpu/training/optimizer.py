@@ -35,8 +35,17 @@ def create_optimizer(
     adam_eps: float = 1e-8,
     weight_decay: float = 0.0,
     max_grad_norm: float | None = 1.0,
+    mu_dtype: str | None = None,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
     """Build the training optimizer.
+
+    Args:
+        mu_dtype: dtype for the first Adam moment (e.g. ``"bfloat16"`` to halve
+            its HBM footprint — bf16 keeps the fp32 exponent range, and the
+            first moment is a smoothed gradient where 8 mantissa bits are
+            plenty). ``None`` keeps the parameter dtype (fp32). The second
+            moment stays fp32: it feeds an rsqrt, where mantissa error is
+            amplified for tiny values.
 
     Returns:
         (optimizer, schedule) — the schedule is exposed for logging.
@@ -52,6 +61,7 @@ def create_optimizer(
             b2=adam_beta2,
             eps=adam_eps,
             weight_decay=weight_decay,
+            mu_dtype=mu_dtype,
         )
     )
     return optax.chain(*chain), schedule

@@ -1,0 +1,152 @@
+"""One-configuration throughput probe for the wav2vec2 CTC train step.
+
+Used for perf sweeps on real hardware: run one (batch, remat, mu_dtype,
+fe_remat) point per process so an OOM in one config cannot poison the next.
+
+    python tools/bench_config.py --batch 32 --remat save_matmul_inputs \
+        --mu-dtype bfloat16 --fe-remat
+
+Prints one JSON line with step time and audio-sec/sec/chip.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_default_prng_impl", "rbg")
+
+import jax.numpy as jnp
+import numpy as np
+
+SR = 16_000
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--seconds", type=int, default=10)
+    p.add_argument("--accum", type=int, default=1)
+    p.add_argument("--remat", default="nothing_saveable",
+                   help="none | nothing_saveable | dots_saveable | "
+                        "save_matmul_inputs | save_matmul_inputs_ffn")
+    p.add_argument("--mu-dtype", default=None)
+    p.add_argument("--fe-remat", action="store_true")
+    p.add_argument("--freeze-fe", action="store_true")
+    p.add_argument("--attention", default="xla", help="xla | flash")
+    p.add_argument("--label-len", type=int, default=128)
+    p.add_argument("--vocab", type=int, default=46)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a profiler trace of the measure loop here")
+    args = p.parse_args()
+
+    from coral_tpu.models import Wav2Vec2Config, Wav2Vec2ForCTC
+    from coral_tpu.parallel import (
+        batch_sharding,
+        create_mesh,
+        replicated,
+        zero_shardings,
+    )
+    from coral_tpu.training import TrainState, create_optimizer
+    from coral_tpu.training.train_state import make_ctc_train_step
+
+    devices = jax.devices()
+    n_chips = len(devices)
+    mesh = create_mesh()
+
+    config = Wav2Vec2Config.xls_r_300m(
+        vocab_size=args.vocab, dtype=jnp.bfloat16, attention_impl=args.attention
+    )
+    model = Wav2Vec2ForCTC(
+        config,
+        gradient_checkpointing=args.remat != "none",
+        remat_policy=args.remat if args.remat != "none" else "nothing_saveable",
+        remat_feature_encoder=args.fe_remat,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init({"params": rng}, jnp.zeros((1, SR)), jnp.asarray([SR]))[
+        "params"
+    ]
+    tx, schedule = create_optimizer(
+        learning_rate=1e-4, warmup_steps=100, max_steps=100_000,
+        mu_dtype=args.mu_dtype,
+    )
+    state = TrainState.create(params, tx)
+    train_step = make_ctc_train_step(
+        model, tx, schedule, blank_id=args.vocab - 1,
+        freeze_feature_encoder=args.freeze_fe,
+    )
+
+    param_sh = jax.tree.map(lambda _: replicated(mesh), state.params)
+    opt_sh = zero_shardings(state.opt_state, mesh)
+    state_sh = TrainState(step=replicated(mesh), params=param_sh, opt_state=opt_sh)
+    data_sh = batch_sharding(mesh, axis=1)
+    batch_sh = {k: data_sh for k in
+                ("input_values", "input_lengths", "labels", "label_lengths")}
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(state_sh, batch_sh, replicated(mesh)),
+        out_shardings=(state_sh, None),
+        donate_argnums=(0,),
+    )
+
+    T = args.seconds * SR
+    global_batch = args.batch * n_chips
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "input_values": rng_np.standard_normal(
+            (args.accum, global_batch, T)
+        ).astype(np.float32),
+        "input_lengths": np.full((args.accum, global_batch), T, dtype=np.int32),
+        "labels": rng_np.integers(
+            0, args.vocab - 1, size=(args.accum, global_batch, args.label_len)
+        ).astype(np.int32),
+        "label_lengths": np.full(
+            (args.accum, global_batch), args.label_len, dtype=np.int32
+        ),
+    }
+    state = jax.device_put(state, state_sh)
+    batch = jax.device_put(batch, batch_sh)
+
+    for i in range(args.warmup):
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(i))
+    float(metrics["loss"])  # host fetch = reliable sync on the axon platform
+
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
+    t0 = time.perf_counter()
+    for i in range(args.steps):
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(100 + i))
+    final_loss = float(metrics["loss"])
+    elapsed = time.perf_counter() - t0
+    if args.profile_dir:
+        jax.profiler.stop_trace()
+    assert np.isfinite(final_loss)
+
+    audio_seconds = args.steps * args.accum * global_batch * args.seconds
+    print(json.dumps({
+        "batch": args.batch,
+        "remat": args.remat,
+        "mu_dtype": args.mu_dtype,
+        "fe_remat": args.fe_remat,
+        "freeze_fe": args.freeze_fe,
+        "step_ms": round(elapsed / args.steps * 1000, 1),
+        "audio_sec_per_sec_per_chip": round(
+            audio_seconds / elapsed / n_chips, 2
+        ),
+    }))
+
+
+if __name__ == "__main__":
+    main()
