@@ -50,15 +50,26 @@ def main() -> None:
     n_chips = len(devices)
     mesh = create_mesh()
 
-    config = Wav2Vec2Config.xls_r_300m(vocab_size=VOCAB, dtype=jnp.bfloat16)
-    model = Wav2Vec2ForCTC(config, gradient_checkpointing=True)
+    # Winning v5e configuration (tools/bench_config.py sweep, round 2):
+    # pallas short-T attention + save-matmul-inputs remat + rematted feature
+    # encoder + bf16 first Adam moment: 537 -> 636 audio-s/s/chip at B=32.
+    config = Wav2Vec2Config.xls_r_300m(
+        vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas"
+    )
+    model = Wav2Vec2ForCTC(
+        config,
+        gradient_checkpointing=True,
+        remat_policy="save_matmul_inputs",
+        remat_feature_encoder=True,
+    )
 
     rng = jax.random.PRNGKey(0)
     params = model.init(
         {"params": rng}, jnp.zeros((1, SR)), jnp.asarray([SR])
     )["params"]
     tx, schedule = create_optimizer(
-        learning_rate=1e-4, warmup_steps=100, max_steps=100_000
+        learning_rate=1e-4, warmup_steps=100, max_steps=100_000,
+        mu_dtype="bfloat16",
     )
     state = TrainState.create(params, tx)
     train_step = make_ctc_train_step(

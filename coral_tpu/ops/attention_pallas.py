@@ -1,0 +1,267 @@
+"""Fused short-sequence attention kernel (Pallas TPU).
+
+The wav2vec2 encoder runs bidirectional attention over ~500 frames (10 s of
+audio after the 320x conv downsampling) with 16 heads of 64 dims — shapes where
+a blocked flash kernel is overkill (one (T, T) score tile fits VMEM whole) but
+XLA's unfused lowering is badly HBM-bound: it materialises the fp32
+``(B, H, T, T)`` logits and softmax tensors (~0.5 GB each at B=32) in HBM for
+the forward AND keeps them as backward residuals, so every train step moves
+multiple GB per layer. The reference hits the same math through torch SDPA
+(reference: HF ``Wav2Vec2ForCTC`` attention, configured at
+``src/coral/wav2vec2.py:104-126``).
+
+This kernel computes one (batch, head) row block per grid step, keeping the
+whole (T, T) score matrix in VMEM:
+
+- forward: ``softmax(q k^T * scale + k_bias) v`` with fp32 softmax, nothing but
+  ``o`` written back to HBM;
+- backward: recomputes scores/probabilities on-MXU from the saved q/k/v (the
+  fp32 (T, T) tensors never touch HBM), then forms dv/dq/dk with five small
+  matmuls per head.
+
+Padding is handled k-side via an additive ``(B, T)`` bias (``0`` valid,
+``-inf`` padded), matching the XLA path in ``models/wav2vec2.py`` exactly.
+Intended for T up to ~1024; above that a blocked flash kernel wins.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
+    q = q_ref[0, 0]  # (T, d)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[0]  # (1, T) broadcasts over query rows
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    p = (p / l).astype(q.dtype)
+    o = jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[0, 0] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                *, sm_scale: float):
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+
+    # Recompute probabilities (fp32, VMEM-resident).
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * sm_scale + bias_ref[0]
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=1, keepdims=True)
+    p = e / l
+
+    pb = p.astype(q.dtype)
+    dv = jax.lax.dot_general(
+        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(p * dp, axis=1, keepdims=True)
+    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+    dq = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dk = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(T, d):
+    # Arrays are (B, H, T, d); one (T, d) slab per (batch, head) grid step.
+    # The trailing (T, d) block dims equal the full array dims, which keeps
+    # Mosaic's lane/sublane constraints satisfied for any d >= 8.
+    qkv = pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0))
+    # bias is (B, 1, T): trailing block dims equal the array dims.
+    bias = pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0))
+    return qkv, bias
+
+
+def _fwd_pallas(q, k, v, bias, sm_scale, interpret):
+    B, H, T, d = q.shape
+    qkv_spec, bias_spec = _specs(T, d)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, sm_scale=sm_scale),
+        grid=(B, H),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def _bwd_pallas(q, k, v, bias, do, sm_scale, interpret):
+    B, H, T, d = q.shape
+    qkv_spec, bias_spec = _specs(T, d)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, sm_scale=sm_scale),
+        grid=(B, H),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, bias, do)
+
+
+# ---------------------------------------------------------------------------
+# GSPMD partitioning
+#
+# pallas_call lowers to an opaque custom call, which the SPMD partitioner
+# cannot split on its own — under a pjit-sharded batch it would all-gather
+# the full batch onto every device. The kernel is embarrassingly parallel
+# over (batch, head), so custom_partitioning declares exactly that: inputs
+# and outputs keep whatever sharding they have on dims 0 (batch) and 1
+# (heads); T and d are forced replicated; each device runs the kernel on its
+# local (B/dp, H/tp) shard. This covers both data parallelism and
+# Megatron-style head-sharded tensor parallelism (parallel/tp.py).
+# ---------------------------------------------------------------------------
+
+
+def _bh_only(sharding, mesh, ndim):
+    """Keep a NamedSharding's spec on dims (0, 1); replicate the rest."""
+    spec = [None] * ndim
+    if isinstance(sharding, NamedSharding):
+        got = list(sharding.spec) + [None] * ndim
+        spec[0] = got[0]
+        if ndim == 4:
+            spec[1] = got[1]
+    return NamedSharding(mesh, P(*spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(sm_scale, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bias: _fwd_pallas(q, k, v, bias, sm_scale, interpret)
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bh_only(arg_infos[0].sharding, mesh, 4)
+
+    def partition(mesh, arg_infos, result_infos):
+        out_sh = _bh_only(arg_infos[0].sharding, mesh, 4)
+        batch_spec = out_sh.spec[0]
+        arg_shs = (
+            out_sh, out_sh, out_sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+        )
+        lower = functools.partial(
+            _fwd_pallas, sm_scale=sm_scale, interpret=interpret
+        )
+        return mesh, lower, out_sh, arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b h t d, b h t d, b h t d, b u t -> b h t d",
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(sm_scale, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bias, do: _bwd_pallas(
+            q, k, v, bias, do, sm_scale, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 4)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 4)
+        batch_spec = sh.spec[0]
+        arg_shs = (
+            sh, sh, sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+            sh,
+        )
+        lower = functools.partial(
+            _bwd_pallas, sm_scale=sm_scale, interpret=interpret
+        )
+        return mesh, lower, (sh, sh, sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b h t d, b h t d, b h t d, b u t, b h t d "
+            "-> b h t d, b h t d, b h t d"
+        ),
+    )
+    return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _attention(q, k, v, bias, sm_scale, interpret):
+    o, _ = _attention_fwd(q, k, v, bias, sm_scale, interpret)
+    return o
+
+
+def _attention_fwd(q, k, v, bias, sm_scale, interpret):
+    o = _fwd_cp(sm_scale, interpret)(q, k, v, bias)
+    return o, (q, k, v, bias)
+
+
+def _attention_bwd(sm_scale, interpret, res, do):
+    q, k, v, bias = res
+    dq, dk, dv = _bwd_cp(sm_scale, interpret)(q, k, v, bias, do)
+    return dq, dk, dv, None
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def short_t_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pad_mask: jnp.ndarray,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Bidirectional attention with k-side padding, fused for short T.
+
+    Args:
+        q, k, v: (B, T, H, d) activations.
+        pad_mask: (B, T) bool, True = valid key position.
+        sm_scale: score scale; default ``d ** -0.5``.
+        interpret: run the Pallas interpreter (for CPU tests). Defaults to
+            True off-TPU.
+
+    Returns:
+        (B, T, H, d) attention outputs, same dtype as ``q``.
+    """
+    B, T, H, d = q.shape
+    if sm_scale is None:
+        sm_scale = float(d) ** -0.5
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    bias = jnp.where(pad_mask, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]
+    bht = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # noqa: E731
+    o = _attention(bht(q), bht(k), bht(v), bias, sm_scale, interpret)
+    return bht(o)

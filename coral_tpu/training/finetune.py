@@ -107,6 +107,10 @@ def finetune(config: Any) -> dict[str, float]:
         adam_beta1=float(config.adam_first_momentum),
         adam_beta2=float(config.adam_second_momentum),
         max_grad_norm=float(config.max_grad_norm),
+        # bf16 first moment halves its HBM footprint (keeps fp32 range; the
+        # smoothed gradient tolerates 8 mantissa bits). Opt out with
+        # adam_mu_dtype=float32 for bit-exact reference Adam.
+        mu_dtype=config.get("adam_mu_dtype", "bfloat16"),
     )
 
     rng = jax.random.PRNGKey(int(config.seed))

@@ -138,11 +138,18 @@ class Wav2Vec2Setup:
             mask_time_length=model_cfg.get("mask_time_length", 10),
             mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
             mask_feature_length=model_cfg.get("mask_feature_length", 64),
+            attention_impl=model_cfg.get("attention_impl", "pallas"),
         )
         self.model = Wav2Vec2ForCTC(
             self.model_config,
             gradient_checkpointing=bool(config.get("gradient_checkpointing", True)),
-            remat_policy=config.get("remat_policy", "nothing_saveable"),
+            # Measured on v5e (B=32 x 10 s): saving the five matmul inputs per
+            # layer beats full recompute and fits alongside the pallas
+            # attention kernel; see models/wav2vec2.py:_REMAT_POLICIES.
+            remat_policy=config.get("remat_policy", "save_matmul_inputs"),
+            remat_feature_encoder=bool(
+                config.get("remat_feature_encoder", True)
+            ),
         )
         self.blank_id = self.tokenizer.pad_token_id
         self.ctc_loss_reduction = model_cfg.get("ctc_loss_reduction", "sum")

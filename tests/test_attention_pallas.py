@@ -1,0 +1,113 @@
+"""Tests for the fused short-T attention kernel (ops/attention_pallas.py).
+
+The kernel replaces torch SDPA inside HF ``Wav2Vec2ForCTC`` (reference:
+``src/coral/wav2vec2.py:104-126``); these tests pin it against the XLA
+reference path for values, gradients, padding semantics and GSPMD
+partitioning (no batch all-gather on a sharded mesh).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coral_tpu.ops.attention_pallas import short_t_attention
+
+
+def _xla_reference(q, k, v, pad_mask):
+    bias = jnp.where(pad_mask[:, None, None, :], 0.0, -jnp.inf).astype(
+        jnp.float32
+    )
+    return jax.nn.dot_product_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        bias=bias,
+    ).astype(q.dtype)
+
+
+@pytest.fixture()
+def qkv():
+    B, T, H, d = 2, 56, 4, 16
+    rng = np.random.default_rng(0)
+    mk = lambda: jnp.asarray(  # noqa: E731
+        rng.standard_normal((B, T, H, d)), jnp.float32
+    )
+    lengths = jnp.asarray([56, 37])
+    pad = jnp.arange(T)[None, :] < lengths[:, None]
+    return mk(), mk(), mk(), pad
+
+
+def test_forward_matches_xla(qkv):
+    q, k, v, pad = qkv
+    out = short_t_attention(q, k, v, pad)
+    ref = _xla_reference(q, k, v, pad)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_gradients_match_xla(qkv):
+    q, k, v, pad = qkv
+
+    def loss(fn, q, k, v):
+        out = fn(q, k, v, pad) if fn is short_t_attention else fn(q, k, v)
+        return jnp.sum(jnp.sin(out) * jnp.cos(q))
+
+    g_pal = jax.grad(
+        lambda q, k, v: loss(short_t_attention, q, k, v), argnums=(0, 1, 2)
+    )(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: loss(lambda a, b, c: _xla_reference(a, b, c, pad),
+                             q, k, v),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_padding_is_ignored(qkv):
+    """Values beyond a row's length must not influence its output."""
+    q, k, v, pad = qkv
+    out = short_t_attention(q, k, v, pad)
+    k2 = k.at[1, 37:].set(1e4)
+    v2 = v.at[1, 37:].set(-1e4)
+    out2 = short_t_attention(q, k2, v2, pad)
+    np.testing.assert_allclose(out, out2, atol=1e-6)
+
+
+def test_odd_time_and_head_dims():
+    """Non-tile-aligned T and small d still lower (trailing full-array dims)."""
+    B, T, H, d = 3, 23, 2, 8
+    rng = np.random.default_rng(1)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+        for _ in range(3)
+    )
+    pad = jnp.ones((B, T), bool)
+    out = short_t_attention(q, k, v, pad)
+    ref = _xla_reference(q, k, v, pad)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_sharded_batch_no_allgather():
+    """Under a batch-sharded pjit, the kernel partitions instead of gathering."""
+    from coral_tpu.parallel import batch_sharding, create_mesh
+
+    mesh = create_mesh()
+    B, T, H, d = 16, 24, 2, 8
+    rng = np.random.default_rng(2)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+        for _ in range(3)
+    )
+    pad = jnp.ones((B, T), bool)
+    sh = batch_sharding(mesh, axis=0)
+
+    fn = jax.jit(
+        lambda q, k, v, pad: short_t_attention(q, k, v, pad),
+        in_shardings=(sh, sh, sh, sh),
+    )
+    hlo = fn.lower(q, k, v, pad).compile().as_text()
+    assert not re.search(r"all-gather", hlo), "kernel was gathered, not split"
+    out = fn(q, k, v, pad)
+    ref = _xla_reference(q, k, v, pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
