@@ -318,7 +318,15 @@ class FeedForward(nn.Module):
                      name="intermediate_dense")(x)
         x = checkpoint_name(x, "ffn_hidden")
         x = jax.nn.gelu(x, approximate=False)
-        x = nn.Dropout(cfg.activation_dropout)(x, deterministic=deterministic)
+        if cfg.activation_dropout > 0.0 and not deterministic:
+            # Fused Pallas dropout: mask bits are generated in VMEM and the
+            # backward pass re-seeds the same stream, so no 4-byte-per-element
+            # rng buffer ever hits HBM (ops/dropout_pallas.py).
+            from ..ops.dropout_pallas import dropout as fused_dropout
+
+            x = fused_dropout(
+                x, cfg.activation_dropout, self.make_rng("dropout")
+            )
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output_dense")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         return x
