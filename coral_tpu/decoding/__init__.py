@@ -73,7 +73,8 @@ def _lib() -> ctypes.CDLL:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_void_p, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_char_p, ctypes.c_float, ctypes.c_char_p, ctypes.c_float,
     ]
     lib.coral_free.argtypes = [ctypes.c_void_p]
     return lib
@@ -143,11 +144,18 @@ class NGramModel:
 
 
 class BeamSearchDecoder:
-    """CTC prefix beam search with optional n-gram shallow fusion.
+    """CTC beam search with pyctcdecode-parity n-gram shallow fusion.
 
     Equivalent to the reference's pyctcdecode decoder built by
-    ``build_ctcdecoder`` (reference: ``src/coral/ngram.py:341-343``); alpha/beta
-    defaults match pyctcdecode's.
+    ``build_ctcdecoder`` (reference: ``src/coral/ngram.py:341-343``). All
+    defaults match pyctcdecode's: alpha/beta fusion weights, beam width 100,
+    per-frame token floor ``token_min_logp=-5``, beam pruning at
+    ``beam_prune_logp=-10`` below the best fused score, ``score_boundary``
+    (<s>/</s> sentence-boundary scoring), and — when ``unigrams`` are given —
+    mid-beam partial-word penalties from the unigram prefix set
+    (``unk_score_offset`` per unknown prefix, length-scaled past 6 chars).
+    The reference ships its decoder *without* unigrams, in which case the
+    partial-word penalty is identically zero there as well.
     """
 
     def __init__(
@@ -159,6 +167,13 @@ class BeamSearchDecoder:
         alpha: float = 0.5,
         beta: float = 1.5,
         beam_width: int = 100,
+        score_boundary: bool = True,
+        beam_prune_logp: float = -10.0,
+        token_min_logp: float = -5.0,
+        unigrams: list[str] | None = None,
+        unk_score_offset: float = -10.0,
+        hotwords: list[str] | None = None,
+        hotword_weight: float = 10.0,
     ) -> None:
         self.vocab = list(vocab)
         self._vocab_c = (ctypes.c_char_p * len(vocab))(
@@ -170,6 +185,17 @@ class BeamSearchDecoder:
         self.alpha = alpha
         self.beta = beta
         self.beam_width = beam_width
+        self.score_boundary = score_boundary
+        self.beam_prune_logp = beam_prune_logp
+        self.token_min_logp = token_min_logp
+        self._unigrams_c = (
+            "\n".join(unigrams).encode() if unigrams else None
+        )
+        self.unk_score_offset = unk_score_offset
+        self._hotwords_c = (
+            "\n".join(hotwords).encode() if hotwords else None
+        )
+        self.hotword_weight = hotword_weight
 
     def decode(self, log_probs: np.ndarray) -> str:
         """Decode one utterance.
@@ -191,6 +217,10 @@ class BeamSearchDecoder:
             self.lm._handle if self.lm is not None else None,
             self.alpha, self.beta,
             self.lm.order if self.lm is not None else 0,
+            1 if self.score_boundary else 0,
+            self.beam_prune_logp, self.token_min_logp,
+            self._unigrams_c, self.unk_score_offset,
+            self._hotwords_c, self.hotword_weight,
         )
         try:
             return ctypes.string_at(ptr).decode("utf-8", errors="replace")

@@ -1,16 +1,41 @@
-// CTC prefix beam search with n-gram shallow fusion.
+// CTC beam search with n-gram shallow fusion, pyctcdecode-parity semantics.
 //
 // Native replacement for the reference's pyctcdecode dependency (reference:
 // src/coral/ngram.py:341-353 `build_ctcdecoder`, and
 // src/coral/compute_metrics.py:53-54 `Wav2Vec2ProcessorWithLM.batch_decode`).
-// The device produces per-frame log-probabilities; this host-side decoder runs
-// the classic prefix beam search (Hannun et al.) over them, scoring completed
-// words with the n-gram model from ngram.cc:
+// The device produces per-frame log-probabilities; this host-side decoder
+// follows pyctcdecode's algorithm:
 //
-//   score(prefix) = log P_ctc(prefix) + alpha * log10 P_lm(words) + beta * |words|
+//   - beams carry (completed text, in-progress word_part, last char); beams
+//     with identical composition are merged by log-sum-exp of the acoustic
+//     score;
+//   - per frame, only tokens with log p >= token_min_logp (plus the argmax
+//     token) are considered;
+//   - the LM is applied *inside* the frame loop: ranking uses
+//       logit_score
+//         + sum over completed words of (alpha * ln10 * log10 P_lm + beta)
+//         + partial_word_penalty(word_part),
+//     so LM evidence and partial-word validity steer pruning mid-beam, not
+//     only at word boundaries;
+//   - partial_word_penalty matches pyctcdecode's unigram char-trie rule:
+//     0 when word_part is a prefix of (or equal to) a known unigram, else
+//     unk_score_offset, scaled by len/6 when len > 6. Without unigrams the
+//     penalty is identically 0 — which is exactly the configuration the
+//     reference ships (build_ctcdecoder without unigrams);
+//   - score_boundary semantics: the first word is scored in the <s> context
+//     and finalisation adds log10 P(</s> | context);
+//   - beams below (best - beam_prune_logp) are dropped each frame, then the
+//     top beam_width survive;
+//   - finalisation scores the trailing partial word as a full word.
 //
-// matching pyctcdecode's alpha/beta fusion semantics. Exposed through the same
-// C ABI shared library as the LM (ctypes; no pybind11 in this image).
+// Known deviation from pyctcdecode (documented, exercised by tests): when a
+// transcript ends exactly on a word boundary, we still add the </s> score
+// under score_boundary; pyctcdecode's per-text LM cache skips </s> for such
+// beams. Hotwords use a whole-word boost (+hotword_weight per completed
+// hotword) rather than pyctcdecode's character-prorated prefix boost.
+//
+// Exposed through the same C ABI shared library as the LM (ctypes; no
+// pybind11 in this image).
 
 #include <algorithm>
 #include <cmath>
@@ -18,6 +43,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <memory>
+#include <set>
 #include <sstream>
 #include <string>
 #include <unordered_map>
@@ -34,33 +60,63 @@ static inline double LogAdd(double a, double b) {
 }
 
 static const double kNegInf = -INFINITY;
+static const double kAvgTokenLen = 6.0;  // pyctcdecode AVG_TOKEN_LEN
 
 struct Beam {
-  std::string text;          // decoded text so far (token strings concatenated)
-  double p_blank = kNegInf;  // log prob of prefix ending in blank
-  double p_non_blank = kNegInf;
-  double lm_score = 0.0;     // natural-log LM contribution (alpha/beta applied)
-  int num_words = 0;
-  int last_token = -1;       // last emitted token id
-
-  double Total() const { return LogAdd(p_blank, p_non_blank) + lm_score; }
+  std::string text;       // completed words, space-joined
+  std::string word_part;  // word in progress (since the last separator)
+  int last_char = -1;     // last token id; -1 after a blank
+  double logit_score = kNegInf;  // natural-log acoustic score (merged)
+  double lm_score = 0.0;  // weighted LM of completed words (incl. hotwords)
 };
 
 }  // namespace coral
 
-// LM query hook implemented in ngram.cc.
+// LM query hook implemented in ngram.cc (log10 probability).
 extern "C" float coral_ngram_logprob(void* handle, const char* context,
                                      const char* word);
 
 namespace coral {
 
-// Last (order-1) words of `text` as the LM context.
-static std::string LmContext(const std::string& text, int max_words) {
+struct DecodeOptions {
+  int beam_width = 100;
+  float alpha = 0.5f;
+  float beta = 1.5f;
+  int lm_order = 3;
+  bool score_boundary = true;
+  double beam_prune_logp = -10.0;
+  double token_min_logp = -5.0;
+  double unk_score_offset = -10.0;
+  float hotword_weight = 10.0f;
+  const std::set<std::string>* unigrams = nullptr;  // sorted by std::set
+  const std::set<std::string>* hotwords = nullptr;
+};
+
+// pyctcdecode score_partial_token: 0 when the partial word is a prefix of a
+// known unigram; otherwise the unk offset, scaled for overlong tokens.
+static double PartialWordPenalty(const std::string& part,
+                                 const DecodeOptions& opt) {
+  if (part.empty() || opt.unigrams == nullptr) return 0.0;
+  auto it = opt.unigrams->lower_bound(part);
+  bool known = it != opt.unigrams->end() &&
+               it->compare(0, part.size(), part) == 0;
+  if (known) return 0.0;
+  double penalty = opt.unk_score_offset;
+  if (part.size() > kAvgTokenLen) {
+    penalty *= static_cast<double>(part.size()) / kAvgTokenLen;
+  }
+  return penalty;
+}
+
+// LM context for the next word: the last (order-1) items of [<s>] + words.
+static std::string LmContext(const std::string& text,
+                             const DecodeOptions& opt) {
   std::vector<std::string> words;
+  if (opt.score_boundary) words.push_back("<s>");
   std::istringstream iss(text);
   std::string w;
   while (iss >> w) words.push_back(w);
-  int start = std::max(0, static_cast<int>(words.size()) - max_words);
+  int start = std::max(0, static_cast<int>(words.size()) - (opt.lm_order - 1));
   std::string out;
   for (size_t i = start; i < words.size(); ++i) {
     if (!out.empty()) out += ' ';
@@ -69,125 +125,153 @@ static std::string LmContext(const std::string& text, int max_words) {
   return out;
 }
 
-static std::string LastWord(const std::string& text) {
-  auto pos = text.find_last_of(' ');
-  return pos == std::string::npos ? text : text.substr(pos + 1);
+// Weighted score for completing `word` after `text` (pyctcdecode
+// LanguageModel.score): alpha * ln10 * log10 P(word | ctx) + beta, plus the
+// whole-word hotword boost.
+static double ScoreWord(void* lm, const std::string& text,
+                        const std::string& word, const DecodeOptions& opt) {
+  static const double kLn10 = std::log(10.0);
+  double out = 0.0;
+  if (lm != nullptr) {
+    std::string ctx = LmContext(text, opt);
+    float lp10 = coral_ngram_logprob(lm, ctx.c_str(), word.c_str());
+    out += opt.alpha * lp10 * kLn10 + opt.beta;
+  }
+  if (opt.hotwords != nullptr && opt.hotwords->count(word)) {
+    out += opt.hotword_weight;
+  }
+  return out;
+}
+
+// log10 P(</s> | context after all words) under score_boundary.
+static double ScoreEos(void* lm, const std::string& full_text,
+                       const DecodeOptions& opt) {
+  static const double kLn10 = std::log(10.0);
+  if (lm == nullptr || !opt.score_boundary) return 0.0;
+  std::string ctx = LmContext(full_text, opt);
+  float lp10 = coral_ngram_logprob(lm, ctx.c_str(), "</s>");
+  return opt.alpha * lp10 * kLn10;
+}
+
+static std::string MergeText(const std::string& text,
+                             const std::string& part) {
+  if (part.empty()) return text;
+  if (text.empty()) return part;
+  return text + ' ' + part;
 }
 
 char* DecodeImpl(const float* log_probs, int T, int V, const char** vocab,
-                 int blank_id, int word_sep_id, int beam_width, void* lm,
-                 float alpha, float beta, int lm_order) {
-  const double kLn10 = std::log(10.0);
+                 int blank_id, int word_sep_id, void* lm,
+                 const DecodeOptions& opt) {
   std::vector<Beam> beams(1);
-  beams[0].p_blank = 0.0;  // empty prefix, log 1
+  beams[0].logit_score = 0.0;  // empty prefix, log 1
 
   std::vector<Beam> next;
-  next.reserve(beam_width * 8);
+  next.reserve(opt.beam_width * 8);
+  std::vector<int> candidates;
+  candidates.reserve(V);
 
   for (int t = 0; t < T; ++t) {
     const float* frame = log_probs + static_cast<int64_t>(t) * V;
-    std::unordered_map<std::string, size_t> index;  // text+last -> slot in next
+
+    // pyctcdecode: tokens above token_min_logp, argmax always included.
+    candidates.clear();
+    int arg_max = 0;
+    for (int v = 1; v < V; ++v) {
+      if (frame[v] > frame[arg_max]) arg_max = v;
+    }
+    for (int v = 0; v < V; ++v) {
+      if (frame[v] >= opt.token_min_logp || v == arg_max) {
+        candidates.push_back(v);
+      }
+    }
+
+    std::unordered_map<std::string, size_t> index;  // beam key -> slot
     next.clear();
 
-    auto slot = [&](const std::string& text, int last_token) -> Beam& {
-      std::string key = text + '\x01' + std::to_string(last_token);
+    auto slot = [&](const std::string& text, const std::string& part,
+                    int last_char) -> Beam& {
+      std::string key;
+      key.reserve(text.size() + part.size() + 8);
+      key += text;
+      key += '\x01';
+      key += part;
+      key += '\x01';
+      key += std::to_string(last_char);
       auto it = index.find(key);
       if (it != index.end()) return next[it->second];
       index.emplace(std::move(key), next.size());
       next.emplace_back();
       next.back().text = text;
-      next.back().last_token = last_token;
+      next.back().word_part = part;
+      next.back().last_char = last_char;
       return next.back();
     };
 
     for (const Beam& b : beams) {
-      double p_total = LogAdd(b.p_blank, b.p_non_blank);
-
-      // Extend with blank: prefix unchanged.
-      {
-        Beam& nb = slot(b.text, b.last_token);
-        nb.p_blank = LogAdd(nb.p_blank, p_total + frame[blank_id]);
-        nb.lm_score = b.lm_score;
-        nb.num_words = b.num_words;
-      }
-
-      for (int v = 0; v < V; ++v) {
-        if (v == blank_id) continue;
+      for (int v : candidates) {
         double p_v = frame[v];
-        if (p_v < -12.0) continue;  // negligible mass; big speedup
-
-        if (v == b.last_token) {
-          // Repeat without blank: same prefix (collapse).
-          Beam& nb = slot(b.text, b.last_token);
-          nb.p_non_blank = LogAdd(nb.p_non_blank, b.p_non_blank + p_v);
+        if (v == blank_id) {
+          // Blank: composition unchanged, repeats become extendable again.
+          Beam& nb = slot(b.text, b.word_part, -1);
+          nb.logit_score = LogAdd(nb.logit_score, b.logit_score + p_v);
           nb.lm_score = b.lm_score;
-          nb.num_words = b.num_words;
-          // Repeat after blank: extend prefix with a doubled char.
-          double p_ext = b.p_blank + p_v;
-          if (p_ext > kNegInf) {
-            std::string text = b.text + vocab[v];
-            Beam& eb = slot(text, v);
-            eb.p_non_blank = LogAdd(eb.p_non_blank, p_ext);
-            eb.lm_score = b.lm_score;
-            eb.num_words = b.num_words;
+        } else if (v == b.last_char) {
+          // Repeat without an intervening blank: CTC-collapsed.
+          Beam& nb = slot(b.text, b.word_part, v);
+          nb.logit_score = LogAdd(nb.logit_score, b.logit_score + p_v);
+          nb.lm_score = b.lm_score;
+        } else if (v == word_sep_id) {
+          // Word boundary: fold word_part into text and LM-score it now, so
+          // the fused score drives pruning from this frame on.
+          std::string text = b.text;
+          double lm_acc = b.lm_score;
+          if (!b.word_part.empty()) {
+            lm_acc += ScoreWord(lm, text, b.word_part, opt);
+            text = MergeText(text, b.word_part);
           }
-          continue;
-        }
-
-        // New token extends the prefix.
-        std::string text;
-        double lm_score = b.lm_score;
-        int num_words = b.num_words;
-        if (v == word_sep_id) {
-          // Word boundary: score the completed word with the LM.
-          std::string word = LastWord(b.text);
-          if (!word.empty() && lm != nullptr) {
-            std::string head =
-                b.text.substr(0, b.text.size() - word.size());
-            if (!head.empty() && head.back() == ' ') head.pop_back();
-            std::string ctx = LmContext(head, lm_order - 1);
-            float lp10 = coral_ngram_logprob(lm, ctx.c_str(), word.c_str());
-            lm_score += alpha * lp10 * kLn10 + beta;
-            num_words += 1;
-          }
-          if (!b.text.empty() && b.text.back() != ' ') text = b.text + ' ';
-          else text = b.text;  // collapse repeated separators
+          Beam& nb = slot(text, "", v);
+          nb.logit_score = LogAdd(nb.logit_score, b.logit_score + p_v);
+          nb.lm_score = lm_acc;
         } else {
-          text = b.text + vocab[v];
+          Beam& nb = slot(b.text, b.word_part + vocab[v], v);
+          nb.logit_score = LogAdd(nb.logit_score, b.logit_score + p_v);
+          nb.lm_score = b.lm_score;
         }
-        Beam& nb = slot(text, v);
-        nb.p_non_blank = LogAdd(nb.p_non_blank, p_total + p_v);
-        nb.lm_score = lm_score;
-        nb.num_words = num_words;
       }
     }
 
-    // Prune to beam width.
+    // Rank by fused score (acoustic + completed-word LM + partial penalty),
+    // drop everything below best - beam_prune_logp, keep beam_width.
+    auto fused = [&](const Beam& b) {
+      return b.logit_score + b.lm_score + PartialWordPenalty(b.word_part, opt);
+    };
     std::sort(next.begin(), next.end(),
-              [](const Beam& a, const Beam& b) { return a.Total() > b.Total(); });
-    if (static_cast<int>(next.size()) > beam_width) next.resize(beam_width);
+              [&](const Beam& a, const Beam& b) { return fused(a) > fused(b); });
+    if (!next.empty()) {
+      double cutoff = fused(next.front()) + opt.beam_prune_logp;
+      size_t keep = next.size();
+      while (keep > 1 && fused(next[keep - 1]) < cutoff) --keep;
+      next.resize(std::min(keep, static_cast<size_t>(opt.beam_width)));
+    }
     beams.swap(next);
   }
 
-  // Finalise: score the trailing partial word.
+  // Finalise: trailing partial word becomes a full word; </s> under
+  // score_boundary.
   for (Beam& b : beams) {
-    std::string word = LastWord(b.text);
-    if (!word.empty() && lm != nullptr) {
-      std::string head = b.text.substr(0, b.text.size() - word.size());
-      if (!head.empty() && head.back() == ' ') head.pop_back();
-      std::string ctx = LmContext(head, lm_order - 1);
-      float lp10 = coral_ngram_logprob(lm, ctx.c_str(), word.c_str());
-      b.lm_score += alpha * lp10 * kLn10 + beta;
+    if (!b.word_part.empty()) {
+      b.lm_score += ScoreWord(lm, b.text, b.word_part, opt);
+      b.text = MergeText(b.text, b.word_part);
+      b.word_part.clear();
     }
+    b.lm_score += ScoreEos(lm, b.text, opt);
   }
-  std::sort(beams.begin(), beams.end(),
-            [](const Beam& a, const Beam& b) { return a.Total() > b.Total(); });
+  std::sort(beams.begin(), beams.end(), [](const Beam& a, const Beam& b) {
+    return a.logit_score + a.lm_score > b.logit_score + b.lm_score;
+  });
 
   std::string best = beams.empty() ? "" : beams[0].text;
-  // Trim leading/trailing separators.
-  while (!best.empty() && best.front() == ' ') best.erase(best.begin());
-  while (!best.empty() && best.back() == ' ') best.pop_back();
-
   char* out = static_cast<char*>(std::malloc(best.size() + 1));
   std::memcpy(out, best.c_str(), best.size() + 1);
   return out;
@@ -199,13 +283,43 @@ extern "C" {
 
 // log_probs: (T, V) row-major natural-log probabilities. vocab: V utf-8 token
 // strings; `word_sep_id` is the CTC word delimiter ('|'). `lm` may be null
-// (pure acoustic beam search). Caller frees the result with coral_free.
+// (pure acoustic beam search). `unigrams`/`hotwords` are '\n'-joined word
+// lists (may be null). Caller frees the result with coral_free.
 char* coral_ctc_beam_search(const float* log_probs, int T, int V,
                             const char** vocab, int blank_id, int word_sep_id,
                             int beam_width, void* lm, float alpha, float beta,
-                            int lm_order) {
-  return coral::DecodeImpl(log_probs, T, V, vocab, blank_id, word_sep_id,
-                           beam_width, lm, alpha, beta, lm_order);
+                            int lm_order, int score_boundary,
+                            float beam_prune_logp, float token_min_logp,
+                            const char* unigrams, float unk_score_offset,
+                            const char* hotwords, float hotword_weight) {
+  coral::DecodeOptions opt;
+  opt.beam_width = beam_width;
+  opt.alpha = alpha;
+  opt.beta = beta;
+  opt.lm_order = lm_order;
+  opt.score_boundary = score_boundary != 0;
+  opt.beam_prune_logp = beam_prune_logp;
+  opt.token_min_logp = token_min_logp;
+  opt.unk_score_offset = unk_score_offset;
+  opt.hotword_weight = hotword_weight;
+
+  auto parse_words = [](const char* joined) {
+    std::set<std::string> out;
+    if (joined == nullptr) return out;
+    std::istringstream iss(joined);
+    std::string w;
+    while (std::getline(iss, w)) {
+      if (!w.empty()) out.insert(w);
+    }
+    return out;
+  };
+  std::set<std::string> uni = parse_words(unigrams);
+  std::set<std::string> hot = parse_words(hotwords);
+  if (!uni.empty()) opt.unigrams = &uni;
+  if (!hot.empty()) opt.hotwords = &hot;
+
+  return coral::DecodeImpl(log_probs, T, V, vocab, blank_id, word_sep_id, lm,
+                           opt);
 }
 
 void coral_free(char* p) { std::free(p); }
