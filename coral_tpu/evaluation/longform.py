@@ -123,3 +123,54 @@ def transcribe_longform(
 
     merged = merge_token_sequences(id_sequences)
     return tokenizer.bpe.decode(merged).strip()
+
+
+def transcribe_longform_timestamps(
+    audio: np.ndarray,
+    generate_ids: Callable[[dict], np.ndarray],
+    tokenizer,
+    chunk_seconds: float = 30.0,
+    stride_seconds: float = 5.0,
+    sample_rate: int = 16_000,
+    batch_size: int = 8,
+) -> list[tuple[float, float, str]]:
+    """Timestamped long-form transcription.
+
+    ``generate_ids`` must run the timestamp grammar (``return_timestamps`` /
+    ``make_whisper_generate_step(timestamps=True)``); each window's segments
+    are cut out of the overlap by time — a segment survives when its midpoint
+    falls inside the window's exclusive region (the HF pipeline's
+    stride-trimming for ``return_timestamps``, reference surface:
+    ``src/coral/evaluate.py:47-74``) — then shifted by the window offset.
+
+    Returns:
+        Absolute-time (start_seconds, end_seconds, text) tuples.
+    """
+    chunk_length = int(chunk_seconds * sample_rate)
+    stride = int(stride_seconds * sample_rate)
+    windows = chunk_waveform(np.asarray(audio, dtype=np.float32), chunk_length,
+                             stride)
+
+    out: list[tuple[float, float, str]] = []
+    for i in range(0, len(windows), batch_size):
+        group = windows[i : i + batch_size]
+        batch_audio = np.zeros((batch_size, chunk_length), dtype=np.float32)
+        lengths = np.ones((batch_size,), dtype=np.int32)
+        for j, (_, w) in enumerate(group):
+            batch_audio[j, : len(w)] = w
+            lengths[j] = len(w)
+        ids = np.asarray(
+            generate_ids({"input_values": batch_audio, "input_lengths": lengths})
+        )
+        for j, (start_sample, w) in enumerate(group):
+            window_index = i + j
+            is_first = window_index == 0
+            is_last = window_index == len(windows) - 1
+            lo = 0.0 if is_first else stride_seconds
+            hi = chunk_seconds if is_last else chunk_seconds - stride_seconds
+            offset = start_sample / sample_rate
+            for seg_start, seg_end, text in tokenizer.decode_segments(ids[j]):
+                mid = (seg_start + seg_end) / 2.0
+                if lo <= mid < hi:
+                    out.append((seg_start + offset, seg_end + offset, text))
+    return out

@@ -555,6 +555,8 @@ def greedy_generate(
     max_length: int,
     eos_id: int,
     suppress_ids: jnp.ndarray | None = None,
+    timestamps: bool = False,
+    timestamp_begin: int | None = None,
 ) -> jnp.ndarray:
     """Greedy decoding under jit.
 
@@ -592,6 +594,10 @@ def greedy_generate(
         logits, cache = decode_step(params, config, tokens, pos, cache, cross_kv)
         if suppress_ids is not None:
             logits = logits.at[:, suppress_ids].set(-jnp.inf)
+        if timestamps:
+            logits = apply_timestamp_rules(
+                logits, buffer, pos, n_forced, timestamp_begin, eos_id
+            )
         sampled = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         # While inside the forced prompt, the "prediction" is the next forced id.
         next_token = jnp.where(
@@ -612,3 +618,274 @@ def greedy_generate(
                      finished0)
     )
     return out  # (B, max_length), EOS-padded
+
+
+# --------------------------------------------------------------------------------
+# Timestamp decoding rules (HF WhisperTimeStampLogitsProcessor semantics)
+# --------------------------------------------------------------------------------
+
+
+def apply_timestamp_rules(
+    logits: jnp.ndarray,
+    buffer: jnp.ndarray,
+    pos: jnp.ndarray,
+    n_forced: int,
+    timestamp_begin: int,
+    eos_id: int,
+    max_initial_index: int = 50,
+) -> jnp.ndarray:
+    """Constrain next-token logits to Whisper's timestamp grammar.
+
+    Mirrors the HF/openai-whisper timestamp logits processor, which the HF
+    pipeline applies for ``return_timestamps`` long-form decoding (the
+    reference reaches it through the ASR pipeline, reference:
+    ``src/coral/evaluate.py:47-74``): timestamps open every segment, appear in
+    non-decreasing pairs, ``<|notimestamps|>`` is never emitted, the first
+    timestamp is clamped to ``max_initial_index`` (1 s by default), and when
+    the total probability mass on timestamps beats the best text token the
+    next token is forced to be a timestamp.
+
+    Args:
+        logits: (N, V) next-token logits (position ``pos + 1``).
+        buffer: (N, L) token buffer filled up to ``pos`` inclusive.
+        pos: scalar current position.
+        n_forced: prompt length (timestamp grammar starts after it).
+        timestamp_begin: id of ``<|0.00|>``.
+        eos_id: end-of-text id (ids below it are normal text).
+        max_initial_index: highest timestamp offset allowed first.
+
+    Returns:
+        Masked logits, same shape.
+    """
+    N, V = logits.shape
+    L = buffer.shape[1]
+    neg = jnp.asarray(-1e30, logits.dtype)
+    vocab = jnp.arange(V)
+    is_ts = vocab >= timestamp_begin  # (V,)
+    is_text = vocab < eos_id
+
+    gen_len = pos + 1 - n_forced  # generated tokens so far (scalar)
+    last = buffer[:, pos]
+    penult = buffer[:, jnp.maximum(pos - 1, 0)]
+    last_was_ts = (gen_len >= 1) & (last >= timestamp_begin)
+    penult_was_ts = (gen_len < 2) | (penult >= timestamp_begin)
+
+    # A completed pair must be followed by text; a lone timestamp may only be
+    # followed by its pair (or EOS).
+    suppress_ts = last_was_ts & penult_was_ts
+    force_pair = last_was_ts & ~penult_was_ts
+    logits = jnp.where(suppress_ts[:, None] & is_ts[None, :], neg, logits)
+    logits = jnp.where(force_pair[:, None] & is_text[None, :], neg, logits)
+
+    # Timestamps never decrease. While completing a pair an equal timestamp is
+    # allowed; otherwise the next one must be strictly larger.
+    posmask = (jnp.arange(L) >= n_forced) & (jnp.arange(L) <= pos)
+    ts_seen = jnp.where(posmask[None, :] & (buffer >= timestamp_begin),
+                        buffer, -1)
+    max_ts = jnp.max(ts_seen, axis=1)  # (N,), -1 when none yet
+    cutoff = jnp.where(force_pair, max_ts, max_ts + 1)
+    below = vocab[None, :] < cutoff[:, None]
+    logits = jnp.where(
+        (max_ts >= 0)[:, None] & is_ts[None, :] & below, neg, logits
+    )
+
+    # The transcript opens with a timestamp, clamped to max_initial_index.
+    at_begin = gen_len == 0
+    logits = jnp.where(at_begin & ~is_ts[None, :], neg, logits)
+    logits = jnp.where(
+        at_begin & (vocab > timestamp_begin + max_initial_index)[None, :],
+        neg, logits,
+    )
+
+    # <|notimestamps|> is incompatible with timestamp decoding.
+    logits = logits.at[:, timestamp_begin - 1].set(neg)
+
+    # Probability-mass rule: if timestamps jointly out-weigh the best text
+    # token, force a timestamp.
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    ts_mass = jax.nn.logsumexp(
+        jnp.where(is_ts[None, :], logp, -jnp.inf), axis=-1
+    )
+    best_text = jnp.max(jnp.where(is_ts[None, :], -jnp.inf, logp), axis=-1)
+    force_ts = ts_mass > best_text
+    logits = jnp.where(force_ts[:, None] & ~is_ts[None, :], neg, logits)
+    return logits
+
+
+def segments_from_tokens(
+    ids, timestamp_begin: int, eos_id: int, time_precision: float = 0.02
+) -> list[tuple[float, float, list[int]]]:
+    """Split a generated id sequence into timed segments.
+
+    Args:
+        ids: iterable of token ids (one utterance, prompt may be included).
+        timestamp_begin: id of ``<|0.00|>``.
+        eos_id: generation stops here.
+        time_precision: seconds per timestamp step (Whisper: 0.02).
+
+    Returns:
+        List of (start_seconds, end_seconds, text_token_ids) tuples.
+    """
+    segments = []
+    start = None
+    current: list[int] = []
+    for raw in ids:
+        t = int(raw)
+        if t == eos_id:
+            break
+        if t >= timestamp_begin:
+            seconds = (t - timestamp_begin) * time_precision
+            if start is None:
+                start = seconds
+            elif current:
+                segments.append((start, seconds, current))
+                current = []
+                start = None
+            else:
+                start = seconds  # consecutive timestamps: new segment start
+        elif start is not None:
+            current.append(t)
+    if current and start is not None:
+        segments.append((start, start, current))
+    return segments
+
+
+# --------------------------------------------------------------------------------
+# Beam search generation (jitted; beams flattened into the batch axis)
+# --------------------------------------------------------------------------------
+
+
+def beam_generate(
+    params: dict,
+    config: WhisperConfig,
+    input_features: jnp.ndarray,
+    forced_ids: jnp.ndarray,
+    max_length: int,
+    eos_id: int,
+    num_beams: int = 5,
+    length_penalty: float = 1.0,
+    timestamps: bool = False,
+    timestamp_begin: int | None = None,
+    suppress_ids: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Beam-search decoding fully under jit.
+
+    The reference exposes beam search through HF ``generate`` (surface:
+    ``src/coral/whisper.py:214-230`` ``predict_with_generate`` /
+    ``generation_max_length``). Here beams ride the batch axis — the KV cache
+    and cross-attention K/V are laid out (B*K, ...), each step does one
+    ``decode_step`` for all beams, a top-k over ``K x V`` candidates per
+    utterance, and a gather to reorder beams (and their cache slices).
+    Finished beams propagate with frozen scores; final selection normalises by
+    generated length ** ``length_penalty`` (HF ``BeamSearchScorer``).
+
+    Returns:
+        (B, max_length) best sequences, prompt included, EOS-padded.
+    """
+    B = input_features.shape[0]
+    K = num_beams
+    forced_ids = jnp.asarray(forced_ids, dtype=jnp.int32)
+    n_forced = forced_ids.shape[0]
+    V = params["decoder"]["embed_tokens"].shape[0]
+
+    encoder_out = encode(params, config, input_features, deterministic=True)
+    cross_k, cross_v = precompute_cross_kv(params, config, encoder_out)
+    cross_kv = (
+        jnp.repeat(cross_k, K, axis=1), jnp.repeat(cross_v, K, axis=1)
+    )
+    cache = init_self_cache(config, B * K, max_length)
+
+    tokens0 = jnp.full((B * K,), forced_ids[0], dtype=jnp.int32)
+    buffer0 = jnp.full((B, K, max_length), eos_id, dtype=jnp.int32)
+    buffer0 = buffer0.at[:, :, 0].set(forced_ids[0])
+    # Identical beams at the start: only beam 0 carries probability mass.
+    scores0 = jnp.full((B, K), -jnp.inf).at[:, 0].set(0.0)
+    finished0 = jnp.zeros((B, K), dtype=bool)
+
+    def cond(carry):
+        pos, _, _, _, _, finished = carry
+        return (pos < max_length - 1) & ~jnp.all(finished)
+
+    def body(carry):
+        pos, tokens, buffer, scores, cache, finished = carry
+        logits, new_cache = decode_step(
+            params, config, tokens, pos, cache, cross_kv
+        )  # (B*K, V)
+        if suppress_ids is not None:
+            logits = logits.at[:, suppress_ids].set(-jnp.inf)
+        if timestamps:
+            logits = apply_timestamp_rules(
+                logits, buffer.reshape(B * K, max_length), pos, n_forced,
+                timestamp_begin, eos_id,
+            )
+
+        def forced_branch(_):
+            nxt = jnp.full(
+                (B * K,), forced_ids[jnp.minimum(pos + 1, n_forced - 1)],
+                jnp.int32,
+            )
+            buf = jax.lax.dynamic_update_slice(
+                buffer, nxt.reshape(B, K, 1), (0, 0, pos + 1)
+            )
+            return nxt, buf, scores, new_cache, finished
+
+        def free_branch(_):
+            logp = jax.nn.log_softmax(
+                logits.astype(jnp.float32), axis=-1
+            ).reshape(B, K, V)
+            # Finished beams admit exactly one candidate: another EOS at an
+            # unchanged score.
+            eos_only = jnp.full((V,), -jnp.inf).at[eos_id].set(0.0)
+            step_logp = jnp.where(
+                finished[:, :, None], eos_only[None, None, :], logp
+            )
+            cand = scores[:, :, None] + step_logp  # (B, K, V)
+            new_scores, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
+            beam_idx = flat_idx // V  # (B, K)
+            token = (flat_idx % V).astype(jnp.int32)
+
+            take = lambda arr: jnp.take_along_axis(arr, beam_idx, axis=1)
+            buf = jnp.take_along_axis(
+                buffer, beam_idx[:, :, None], axis=1
+            )
+            buf = jax.lax.dynamic_update_slice(
+                buf, token[:, :, None], (0, 0, pos + 1)
+            )
+            fin = take(finished) | (token == eos_id)
+
+            def reorder(c):
+                shaped = c.reshape(
+                    c.shape[0], B, K, *c.shape[2:]
+                )
+                idx = beam_idx.reshape(
+                    (1, B, K) + (1,) * (shaped.ndim - 3)
+                )
+                return jnp.take_along_axis(shaped, idx, axis=2).reshape(
+                    c.shape
+                )
+
+            cache_r = (reorder(new_cache[0]), reorder(new_cache[1]))
+            return token.reshape(B * K), buf, new_scores, cache_r, fin
+
+        nxt, buf, sc, cache_o, fin = jax.lax.cond(
+            pos + 1 < n_forced, forced_branch, free_branch, operand=None
+        )
+        return pos + 1, nxt, buf, sc, cache_o, fin
+
+    _, _, buffer, scores, _, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.asarray(0, jnp.int32), tokens0, buffer0, scores0, cache,
+         finished0),
+    )
+
+    # Length-normalised final selection (generated tokens up to + incl. EOS).
+    positions = jnp.arange(max_length)
+    gen_mask = (positions[None, None, :] >= n_forced) & (
+        buffer != eos_id
+    )
+    lengths = jnp.sum(gen_mask, axis=-1) + 1  # + the EOS itself
+    norm = scores / (lengths.astype(jnp.float32) ** length_penalty)
+    best = jnp.argmax(norm, axis=-1)  # (B,)
+    return jnp.take_along_axis(
+        buffer, best[:, None, None], axis=1
+    )[:, 0, :]

@@ -146,6 +146,31 @@ class WhisperTokenizer:
             self.notimestamps_token_id,
         ]
 
+    @property
+    def forced_decoder_ids_timestamps(self) -> list[int]:
+        """The prompt for timestamped decoding: ``[sot, lang, task]`` (the
+        ``<|notimestamps|>`` token is omitted so the timestamp grammar runs)."""
+        return [
+            self.sot_token_id,
+            self.language_token_id,
+            self.task_token_id,
+        ]
+
+    def decode_segments(
+        self, ids, time_precision: float = 0.02
+    ) -> list[tuple[float, float, str]]:
+        """Decode a timestamped generation into (start_s, end_s, text) tuples."""
+        from ..models.whisper import segments_from_tokens
+
+        out = []
+        for start, end, toks in segments_from_tokens(
+            ids, self.timestamp_begin, self.eos_token_id, time_precision
+        ):
+            text = self.decode(toks)
+            if text:
+                out.append((start, end, text))
+        return out
+
     def encode(self, text: str, truncation: bool = True) -> list[int]:
         """Label ids for training: ``[lang, task, notimestamps, ...bpe, eot]``.
 

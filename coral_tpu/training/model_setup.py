@@ -402,9 +402,17 @@ class WhisperSetup:
         )
 
     def make_predictor(self, mesh, param_sharding) -> Callable:
-        """Jitted greedy generation: host batch -> list of transcript strings."""
+        """Jitted generation: host batch -> list of transcript strings.
+
+        ``generation_num_beams`` in the model config switches to the jitted
+        beam search (the reference's ``predict_with_generate`` beam surface,
+        src/coral/whisper.py:214-230); 1 = greedy.
+        """
         from .train_state import make_whisper_generate_step
 
+        model_cfg = self.config.model
+        num_beams = int(model_cfg.get("generation_num_beams", 1))
+        timestamps = bool(model_cfg.get("return_timestamps", False))
         eval_sh = {
             "input_values": batch_sharding(mesh, axis=0),
             "input_lengths": batch_sharding(mesh, axis=0),
@@ -412,9 +420,18 @@ class WhisperSetup:
         generate = jax.jit(
             make_whisper_generate_step(
                 self.model_config,
-                forced_ids=self.tokenizer.forced_decoder_ids,
+                forced_ids=(
+                    self.tokenizer.forced_decoder_ids_timestamps
+                    if timestamps else self.tokenizer.forced_decoder_ids
+                ),
                 max_length=self.generation_max_length,
                 eos_id=self.tokenizer.eos_token_id,
+                num_beams=num_beams,
+                length_penalty=float(
+                    model_cfg.get("generation_length_penalty", 1.0)
+                ),
+                timestamps=timestamps,
+                timestamp_begin=self.tokenizer.timestamp_begin,
             ),
             in_shardings=(param_sharding, eval_sh),
         )

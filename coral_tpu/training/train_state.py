@@ -281,8 +281,19 @@ def make_whisper_generate_step(
     forced_ids,
     max_length: int,
     eos_id: int,
+    num_beams: int = 1,
+    length_penalty: float = 1.0,
+    timestamps: bool = False,
+    timestamp_begin: int | None = None,
 ) -> Callable:
-    """Build the eval forward: greedy generation from raw waveforms."""
+    """Build the eval forward: generation from raw waveforms.
+
+    ``num_beams=1`` runs the greedy KV-cache loop; ``num_beams>1`` the jitted
+    beam search (reference surface: HF ``predict_with_generate`` /
+    ``generation_max_length``, src/coral/whisper.py:214-230). ``timestamps``
+    enables the Whisper timestamp grammar (pass the matching prompt without
+    ``<|notimestamps|>``).
+    """
     import numpy as np
 
     from ..audio.augment import peak_normalize
@@ -297,9 +308,17 @@ def make_whisper_generate_step(
             n_mels=model_config.num_mel_bins,
             dtype=model_config.dtype,
         )
+        if num_beams > 1:
+            return W.beam_generate(
+                params, model_config, feats, forced, max_length=max_length,
+                eos_id=eos_id, num_beams=num_beams,
+                length_penalty=length_penalty, timestamps=timestamps,
+                timestamp_begin=timestamp_begin,
+            )
         return W.greedy_generate(
             params, model_config, feats, forced, max_length=max_length,
-            eos_id=eos_id,
+            eos_id=eos_id, timestamps=timestamps,
+            timestamp_begin=timestamp_begin,
         )
 
     return generate_step

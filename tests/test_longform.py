@@ -50,3 +50,42 @@ def test_merge_noisy_overlap():
     merged = merge_token_sequences([a, b])
     assert merged[:4] == [1, 2, 3, 4]
     assert merged[-2:] == [7, 8]
+
+
+def test_longform_timestamps_offsets_and_trims():
+    """Windows' segments are trimmed to their exclusive region and shifted to
+    absolute time (the HF return_timestamps stride merge)."""
+    import numpy as np
+
+    from coral_tpu.evaluation.longform import transcribe_longform_timestamps
+
+    SR = 100  # 1 "second" = 100 samples, cheap
+    chunk_s, stride_s = 4.0, 1.0
+    audio = np.zeros(int(10 * SR), dtype=np.float32)  # 4 windows, step 2 s
+
+    class Tok:
+        @staticmethod
+        def decode_segments(ids):
+            # one segment per window: seconds 1.5..2.5 (midpoint 2.0 inside
+            # [1, 3) for interior windows), text = window marker
+            marker = int(ids[0])
+            return [(1.5, 2.5, f"w{marker}")]
+
+    calls = []
+
+    def generate_ids(batch):
+        B = batch["input_values"].shape[0]
+        base = len(calls) * B
+        calls.append(B)
+        return np.arange(base, base + B)[:, None]
+
+    segs = transcribe_longform_timestamps(
+        audio, generate_ids, Tok(), chunk_seconds=chunk_s,
+        stride_seconds=stride_s, sample_rate=SR, batch_size=8,
+    )
+    # windows start at 0, 2, 4, 6 (last covers to EOF); every marker segment
+    # midpoint (2.0) is inside each window's kept region, so all survive with
+    # absolute offsets applied.
+    assert [s[2] for s in segs] == ["w0", "w1", "w2", "w3"]
+    starts = [s[0] for s in segs]
+    assert starts == [1.5, 3.5, 5.5, 7.5]
