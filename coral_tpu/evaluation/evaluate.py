@@ -246,13 +246,39 @@ def bootstrap_interval(
     return float(lo), float(hi)
 
 
+def _narrow_to_slice(
+    df: "pandas.DataFrame",  # noqa: F821
+    slice_spec: dict,
+) -> tuple["pandas.DataFrame", bool]:  # noqa: F821
+    """Select the rows matching a demographic slice.
+
+    A ``None`` value marginalises over that column. The slice is reported as
+    uninformative when any single constraint is vacuous on the frame narrowed
+    so far — it either matches nothing or everything (the latter means the
+    same numbers already appear in the corresponding marginal row).
+    """
+    subset = df
+    for column, wanted in slice_spec.items():
+        if wanted is None:
+            continue
+        narrowed = subset[subset[column] == wanted]
+        if len(narrowed) == 0 or len(narrowed) == len(subset):
+            return subset, False
+        subset = narrowed
+    return subset, True
+
+
 def get_score_df(
     df: "pandas.DataFrame",  # noqa: F821
     categories: list[str],
     n_bootstrap: int = 0,
 ) -> "pandas.DataFrame":  # noqa: F821
-    """WER/CER over every demographic combination incl. None marginals
-    (reference: ``src/coral/evaluate.py:161-216``).
+    """WER/CER over every demographic slice, marginals included.
+
+    Behaviour-compatible with the reference's score grid
+    (``src/coral/evaluate.py:161-216``): the cartesian product of every
+    category's values plus ``None`` (= marginalise), with vacuous slices
+    dropped; one row per informative slice.
 
     Args:
         n_bootstrap: When > 0, adds 95% bootstrap CI columns for the overall
@@ -260,48 +286,41 @@ def get_score_df(
     """
     import pandas as pd
 
-    unique_category_values = [
-        df[category].unique().tolist() + [None] for category in categories
-    ]
+    axis_values = {c: [*df[c].unique().tolist(), None] for c in categories}
 
-    records = []
-    for combination in it.product(*unique_category_values):
-        df_filtered = df
-        skip_combination = False
-        for key, value in zip(categories, combination):
-            if value is None:
-                continue
-            new_df_filtered = df_filtered[df_filtered[key] == value]
-            if len(new_df_filtered) in (len(df_filtered), 0):
-                skip_combination = True
-            df_filtered = new_df_filtered
-        if skip_combination:
+    rows = []
+    for point in it.product(*axis_values.values()):
+        slice_spec = dict(zip(categories, point))
+        subset, informative = _narrow_to_slice(df, slice_spec)
+        if not informative:
             continue
 
-        named_combination = dict(zip(categories, combination))
-        predictions = list(df_filtered.prediction)
-        labels = list(df_filtered.text)
-        score_dict = dict(
-            cer=cer(predictions=predictions, labels=labels),
-            wer=wer(predictions=predictions, labels=labels),
-        )
-        if n_bootstrap and all(v is None for v in combination):
+        hyp = subset.prediction.tolist()
+        ref = subset.text.tolist()
+        measured = {
+            "cer": cer(predictions=hyp, labels=ref),
+            "wer": wer(predictions=hyp, labels=ref),
+        }
+        is_overall = all(v is None for v in point)
+        if n_bootstrap and is_overall:
             for name, metric in (("cer", cer), ("wer", wer)):
                 lo, hi = bootstrap_interval(
-                    predictions, labels, metric, n_bootstrap=n_bootstrap
+                    hyp, ref, metric, n_bootstrap=n_bootstrap
                 )
-                score_dict[f"{name}_ci_low"] = lo
-                score_dict[f"{name}_ci_high"] = hi
-        records.append(named_combination | score_dict)
+                measured[f"{name}_ci_low"] = lo
+                measured[f"{name}_ci_high"] = hi
+        rows.append(slice_spec | measured)
 
-        combination_str = ", ".join(
-            f"{key}={value}"
-            for key, value in named_combination.items()
-            if value is not None
-        ) or "entire dataset"
-        score_str = ", ".join(
-            f"{key.upper()} = {value:.1%}" for key, value in score_dict.items()
+        where = (
+            "overall"
+            if is_overall
+            else " & ".join(
+                f"{c}={v}" for c, v in slice_spec.items() if v is not None
+            )
         )
-        logger.info(f"Scores for {combination_str}: {score_str}")
+        summary = ", ".join(
+            f"{name.upper()} {value:.1%}" for name, value in measured.items()
+        )
+        logger.info(f"[{where}] {summary}")
 
-    return pd.DataFrame.from_records(data=records)
+    return pd.DataFrame.from_records(data=rows)
