@@ -51,6 +51,12 @@ def _lib() -> ctypes.CDLL:
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
     ]
+    lib.coral_ngram_train_streamed.restype = ctypes.c_int
+    lib.coral_ngram_train_streamed.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int,
+        ctypes.c_uint64, ctypes.c_char_p,
+    ]
     lib.coral_ngram_load.restype = ctypes.c_void_p
     lib.coral_ngram_load.argtypes = [ctypes.c_char_p]
     lib.coral_ngram_load_any.restype = ctypes.c_void_p
@@ -104,15 +110,33 @@ class NGramModel:
         arpa_path: str | Path,
         order: int = 3,
         prune: list[int] | None = None,
+        streamed: bool = False,
+        budget_entries: int = 20_000_000,
+        scratch_dir: str | Path | None = None,
     ) -> "NGramModel":
-        """Estimate the LM from a one-sentence-per-line corpus file."""
+        """Estimate the LM from a one-sentence-per-line corpus file.
+
+        Args:
+            streamed: Use the lmplz-style disk pipeline: counts spill to
+                sorted shards under ``scratch_dir`` whenever the in-memory
+                map reaches ``budget_entries``, so corpus size does not bound
+                memory (reference: ``src/coral/ngram.py:126-143``). Produces
+                the same ARPA entries as the in-memory path.
+        """
         if prune is None:
             prune = [0] + [1] * (order - 1)  # reference default (ngram.py:127)
         arr = (ctypes.c_uint64 * len(prune))(*prune)
-        rc = _lib().coral_ngram_train(
-            str(corpus_path).encode(), str(arpa_path).encode(), order,
-            arr, len(prune),
-        )
+        if streamed:
+            rc = _lib().coral_ngram_train_streamed(
+                str(corpus_path).encode(), str(arpa_path).encode(), order,
+                arr, len(prune), budget_entries,
+                str(scratch_dir).encode() if scratch_dir else None,
+            )
+        else:
+            rc = _lib().coral_ngram_train(
+                str(corpus_path).encode(), str(arpa_path).encode(), order,
+                arr, len(prune),
+            )
         if rc != 0:
             raise RuntimeError(f"n-gram training failed with code {rc}")
         return cls(arpa_path)

@@ -47,7 +47,16 @@ def train_and_store_ngram_model(config: Any) -> Path | None:
     corpus_path = get_sentence_corpus_path(config)
     logger.info("Training n-gram language model...")
     prune = [0] + [1] * (num_ngrams - 1)  # lmplz-compatible (ngram.py:127)
-    lm = NGramModel.train(corpus_path, arpa_path, order=num_ngrams, prune=prune)
+    # Large corpora go through the lmplz-style disk pipeline (sorted count
+    # shards; bounded memory) — the same trade lmplz itself makes (reference:
+    # ngram.py:126-143). Small corpora stay fully in memory.
+    streamed = corpus_path.stat().st_size > 512 * 1024 * 1024
+    if streamed:
+        logger.info("Corpus exceeds 512 MiB; using disk-streamed estimation.")
+    lm = NGramModel.train(
+        corpus_path, arpa_path, order=num_ngrams, prune=prune,
+        streamed=streamed, scratch_dir=model_dir,
+    )
     # Compact binary alongside the ARPA (the reference's build_binary step,
     # ngram.py:361-384); the decoder loads either.
     lm.save_binary(arpa_path.with_suffix(".bin"))

@@ -155,3 +155,85 @@ def test_binary_roundtrip(lm, tmp_path):
     )
     # binary is smaller than the ARPA text
     assert bin_path.stat().st_size < lm.arpa_path.stat().st_size
+
+
+def _parse_arpa(path):
+    """ARPA -> {order: {ngram_tuple: (logprob, backoff)}} for comparison."""
+    out = {}
+    order = 0
+    for line in open(path, encoding="utf-8"):
+        line = line.rstrip("\n")
+        if line.startswith("\\") and "-grams:" in line:
+            order = int(line[1])
+            out[order] = {}
+            continue
+        if not line or line.startswith("\\") or order == 0:
+            continue
+        parts = line.split("\t")
+        logprob = float(parts[0])
+        words = tuple(parts[1].split(" "))
+        backoff = float(parts[2]) if len(parts) > 2 else 0.0
+        out[order][words] = (logprob, backoff)
+    return out
+
+
+def test_streamed_training_matches_in_memory(tmp_path):
+    """The lmplz-style disk pipeline produces the same ARPA entries as the
+    in-memory estimator — with a tiny shard budget, forcing many spills and
+    merges (reference pipeline: src/coral/ngram.py:126-143)."""
+    rng = __import__("numpy").random.default_rng(3)
+    words = ["hej", "med", "dig", "verden", "tak", "for", "i", "dag", "mad"]
+    corpus = tmp_path / "corpus.txt"
+    with corpus.open("w") as f:
+        for _ in range(300):
+            n = rng.integers(1, 7)
+            f.write(" ".join(rng.choice(words, size=n)) + "\n")
+
+    mem = tmp_path / "mem.arpa"
+    disk = tmp_path / "disk.arpa"
+    NGramModel.train(corpus, mem, order=3, prune=[0, 1, 1])
+    # budget of 100 entries -> dozens of shard spills on this corpus
+    NGramModel.train(corpus, disk, order=3, prune=[0, 1, 1], streamed=True,
+                     budget_entries=100, scratch_dir=tmp_path)
+
+    a, b = _parse_arpa(mem), _parse_arpa(disk)
+    assert set(a) == set(b)
+    for order in a:
+        assert set(a[order]) == set(b[order]), f"order {order} entries differ"
+        for key in a[order]:
+            la, ba = a[order][key]
+            lb, bb = b[order][key]
+            assert abs(la - lb) < 1e-4, (order, key, la, lb)
+            assert abs(ba - bb) < 1e-4, (order, key, ba, bb)
+
+
+def test_streamed_training_no_pruning(tmp_path):
+    rng = __import__("numpy").random.default_rng(4)
+    words = ["a", "b", "c", "d"]
+    corpus = tmp_path / "c.txt"
+    with corpus.open("w") as f:
+        for _ in range(80):
+            n = rng.integers(1, 5)
+            f.write(" ".join(rng.choice(words, size=n)) + "\n")
+    mem = tmp_path / "m.arpa"
+    disk = tmp_path / "d.arpa"
+    NGramModel.train(corpus, mem, order=2, prune=[0, 0])
+    NGramModel.train(corpus, disk, order=2, prune=[0, 0], streamed=True,
+                     budget_entries=64, scratch_dir=tmp_path)
+    assert _parse_arpa(mem).keys() == _parse_arpa(disk).keys()
+    a, b = _parse_arpa(mem), _parse_arpa(disk)
+    for order in a:
+        assert a[order].keys() == b[order].keys()
+
+
+def test_streamed_model_queries_like_in_memory(tmp_path):
+    corpus = tmp_path / "c.txt"
+    corpus.write_text("hej med dig\nhej verden\nhej med dig verden\n" * 30)
+    mem = NGramModel.train(corpus, tmp_path / "m.arpa", order=3)
+    disk = NGramModel.train(corpus, tmp_path / "d.arpa", order=3,
+                            streamed=True, budget_entries=64,
+                            scratch_dir=tmp_path)
+    for sentence in ("hej med dig", "hej verden", "dig med hej"):
+        assert abs(
+            mem.sentence_logprob(sentence) - disk.sentence_logprob(sentence)
+        ) < 1e-4
