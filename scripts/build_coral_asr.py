@@ -97,6 +97,108 @@ def parse_ass(path: Path) -> list[dict]:
     return segments
 
 
+def strip_all_suffixes(path: Path) -> Path:
+    """Drop every suffix — ``x.tar.xz`` -> ``x`` (reference:
+    ``build_coral_asr.py:860-873``)."""
+    while path.suffix:
+        path = path.with_suffix("")
+    return path
+
+
+def compress_directory(directory: Path) -> Path:
+    """tar.xz a directory next to itself, skipping existing archives
+    (reference: ``build_coral_asr.py:815-829``)."""
+    import tarfile
+
+    archive = directory.with_suffix(".tar.xz")
+    if not archive.exists():
+        with tarfile.open(archive, mode="w:xz") as tar:
+            tar.add(directory, arcname=directory.name)
+    return archive
+
+
+def decompress_archive(archive: Path, destination_dir: Path) -> Path | None:
+    """Copy + extract a ``.tar.xz`` into ``destination_dir``.
+
+    Corrupted archives are cleaned up on both ends (partial extraction AND the
+    source archive, so the next run re-compresses it), mirroring the
+    reference's recovery path (``build_coral_asr.py:832-857``). Returns the
+    extracted directory, or None when the archive was corrupt.
+    """
+    import shutil
+    import tarfile
+
+    staged = destination_dir / archive.name
+    extracted = strip_all_suffixes(staged)
+    if extracted.exists():
+        return extracted
+    if not staged.exists():
+        shutil.copy(archive, destination_dir)
+    try:
+        with tarfile.open(staged, mode="r:xz") as tar:
+            tar.extractall(destination_dir)
+    except Exception as error:
+        logger.error(f"Corrupted archive {archive}: {error}")
+        shutil.rmtree(extracted, ignore_errors=True)
+        archive.unlink(missing_ok=True)
+        staged.unlink(missing_ok=True)
+        return None
+    staged.unlink()
+    return extracted
+
+
+def stage_audio_directory(audio_dir: Path, work_dir: Path | None = None) -> Path:
+    """Stage a remote/slow audio tree into a local working directory.
+
+    The reference compresses each audio subdirectory on the source disk, moves
+    the archives, and decompresses locally — one big sequential read instead
+    of millions of small ones (``build_coral_asr.py:773-813``). Threads
+    overlap the compression of independent subdirectories.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    work_dir = Path(work_dir) if work_dir else Path.cwd()
+    staged_dir = work_dir / audio_dir.name
+    staged_dir.mkdir(parents=True, exist_ok=True)
+
+    subdirs = [p for p in audio_dir.iterdir() if p.is_dir()]
+    if not subdirs:
+        return staged_dir
+
+    with ThreadPoolExecutor() as pool:
+        list(pool.map(compress_directory, subdirs))
+    archives = sorted(audio_dir.glob("*.tar.xz"))
+    with ThreadPoolExecutor() as pool:
+        list(pool.map(
+            lambda a: decompress_archive(a, staged_dir), archives
+        ))
+    return staged_dir
+
+
+def load_conversation_speaker_map(
+    metadata_database_path: Path,
+) -> dict[str, tuple[str, str]]:
+    """id_conversation -> (speaker A id, speaker B id), when the metadata
+    database carries a Conversations table (reference joins it at
+    ``build_coral_asr.py:360-398``)."""
+    con = sqlite3.connect(metadata_database_path)
+    con.row_factory = sqlite3.Row
+    try:
+        rows = con.execute(
+            "SELECT id_conversation, id_speaker_a, id_speaker_b "
+            "FROM Conversations"
+        ).fetchall()
+    except sqlite3.OperationalError:
+        return {}
+    finally:
+        con.close()
+    return {
+        str(r["id_conversation"]): (str(r["id_speaker_a"]),
+                                    str(r["id_speaker_b"]))
+        for r in rows
+    }
+
+
 def build_read_aloud_dataset(metadata_database_path: Path,
                              audio_dir: Path) -> list[dict]:
     """One example per recording, joined with sentence + speaker metadata."""
@@ -141,6 +243,7 @@ def build_conversation_dataset(
         for row in con.execute("SELECT * FROM Speakers")
     }
     con.close()
+    ab_speakers = load_conversation_speaker_map(metadata_database_path)
 
     examples = []
     for subtitle_file in sorted(transcript_dir.rglob("*.ass")):
@@ -156,20 +259,38 @@ def build_conversation_dataset(
         for i, seg in enumerate(parse_ass(subtitle_file)):
             text = seg["text"]
             # Drop anonymised/noise segments and unknown speakers (reference
-            # drops ***/bracket tags and speakerless segments).
-            if not text or BAD_SEGMENT_RE.search(text) or not seg["speaker"]:
+            # drops ***/bracket tags and speakerless segments,
+            # build_coral_asr.py:541-552).
+            if not text or BAD_SEGMENT_RE.search(text):
                 continue
+            tag = seg["speaker"].upper()
+            if tag in ("A", "B"):
+                # Conversation subtitles name speakers "A"/"B"; resolve via
+                # the Conversations metadata (reference: only A/B segments
+                # are kept and mapped to the conversation's speaker rows).
+                pair = ab_speakers.get(stem)
+                if pair is None:
+                    continue
+                speaker_id = pair[0] if tag == "A" else pair[1]
+            elif stem in ab_speakers or not seg["speaker"]:
+                # In a mapped conversation any other tag is an unknown
+                # speaker (reference drops it, build_coral_asr.py:551-552).
+                continue
+            else:
+                # Trees without a Conversations table carry speaker ids
+                # directly in the subtitle Name field.
+                speaker_id = seg["speaker"]
             start = int(seg["start"] * sr)
             end = min(int(seg["end"] * sr), len(audio))
             if end <= start:
                 continue
-            meta = speakers.get(seg["speaker"], {})
+            meta = speakers.get(speaker_id, {})
             examples.append(
                 {
                     "id_recording": f"{stem}_{i:05d}",
                     "audio": {"array": audio[start:end], "sampling_rate": sr},
                     "text": text,
-                    "id_speaker": seg["speaker"],
+                    "id_speaker": speaker_id,
                     "gender": meta.get("gender"),
                     "age": meta.get("age"),
                     "dialect": meta.get("dialect"),

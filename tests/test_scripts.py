@@ -135,3 +135,148 @@ def test_all_root_configs_compose(config_path):
     ):
         cfg = compose(name, overrides=[], config_path=config_path)
         assert cfg is not None
+
+
+def test_tar_staging_roundtrip(tmp_path):
+    """compress -> stage -> decompress reproduces the audio tree; corrupted
+    archives are cleaned up on both ends (reference:
+    build_coral_asr.py:773-857)."""
+    builder = load_script("build_coral_asr")
+
+    src = tmp_path / "source_audio"
+    for sub, names in [("s1", ["a.wav", "b.wav"]), ("s2", ["c.wav"])]:
+        d = src / sub
+        d.mkdir(parents=True)
+        for n in names:
+            (d / n).write_bytes(b"RIFF" + bytes(64))
+
+    work = tmp_path / "work"
+    work.mkdir()
+    staged = builder.stage_audio_directory(src, work)
+    assert sorted(p.name for p in staged.iterdir()) == ["s1", "s2"]
+    assert (staged / "s1" / "a.wav").read_bytes().startswith(b"RIFF")
+    # archives were left next to the source (reusable on the next run)
+    assert sorted(p.name for p in src.glob("*.tar.xz")) == [
+        "s1.tar.xz", "s2.tar.xz",
+    ]
+
+    # corrupted archive: recovery removes the partial dir AND the archive
+    bad = src / "s3.tar.xz"
+    bad.write_bytes(b"this is not xz data")
+    out = builder.decompress_archive(bad, staged)
+    assert out is None
+    assert not bad.exists()
+    assert not (staged / "s3").exists()
+
+    # idempotence: staging again with archives present short-circuits
+    staged2 = builder.stage_audio_directory(src, work)
+    assert (staged2 / "s2" / "c.wav").exists()
+
+
+def test_strip_all_suffixes():
+    from pathlib import Path
+
+    builder = load_script("build_coral_asr")
+    assert builder.strip_all_suffixes(Path("/x/y.tar.xz")) == Path("/x/y")
+    assert builder.strip_all_suffixes(Path("/x/y")) == Path("/x/y")
+
+
+def test_conversation_ab_speaker_resolution(tmp_path):
+    """'A'/'B' subtitle names resolve through the Conversations table
+    (reference: build_coral_asr.py:525-560)."""
+    import sqlite3
+    import wave
+
+    builder = load_script("build_coral_asr")
+
+    db = tmp_path / "meta.db"
+    con = sqlite3.connect(db)
+    con.execute(
+        "CREATE TABLE Speakers (id_speaker TEXT, gender TEXT, age INT,"
+        " dialect TEXT, birthplace TEXT, country_birth TEXT)"
+    )
+    con.execute("INSERT INTO Speakers VALUES ('spk1','female',30,'fynsk','O','DK')")
+    con.execute("INSERT INTO Speakers VALUES ('spk2','male',40,'jysk','A','DK')")
+    con.execute(
+        "CREATE TABLE Conversations (id_conversation TEXT,"
+        " id_speaker_a TEXT, id_speaker_b TEXT)"
+    )
+    con.execute("INSERT INTO Conversations VALUES ('conv1', 'spk1', 'spk2')")
+    con.commit()
+    con.close()
+
+    audio_dir = tmp_path / "audio"
+    audio_dir.mkdir()
+    sr = 16000
+    with wave.open(str(audio_dir / "conv1.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(bytes(2 * sr * 4))  # 4 s of silence
+
+    transcripts = tmp_path / "subs"
+    transcripts.mkdir()
+    (transcripts / "conv1.ass").write_text(
+        "[Events]\n"
+        "Format: Layer, Start, End, Style, Name, MarginL, MarginR, MarginV,"
+        " Effect, Text\n"
+        "Dialogue: 0,0:00:00.50,0:00:01.50,Default,A,0,0,0,,hej med dig\n"
+        "Dialogue: 0,0:00:01.60,0:00:02.60,Default,B,0,0,0,,hej igen\n"
+        "Dialogue: 0,0:00:02.70,0:00:03.20,Default,C,0,0,0,,ukendt taler\n"
+    )
+
+    examples = builder.build_conversation_dataset(db, audio_dir, transcripts)
+    assert [e["id_speaker"] for e in examples] == ["spk1", "spk2"]
+    assert examples[0]["gender"] == "female"
+    assert examples[1]["dialect"] == "jysk"
+
+
+def test_nst_reorganise_and_bad_files(tmp_path):
+    """The NST reorganise pass moves every archive into the train/test layout
+    and the curation pass drops known-bad + tiny files (reference:
+    build_nst_da.py:127-229)."""
+    nst = load_script("build_nst_da")
+
+    raw = tmp_path / "raw"
+    # train_audio/dk/<subdir>/*.wav
+    d = raw / "train_audio" / "dk" / "r1"
+    d.mkdir(parents=True)
+    (d / "good.wav").write_bytes(bytes(10000))
+    (d / "tiny.wav").write_bytes(bytes(100))
+    (d / "dk11x242-18072000-1149_u0047.wav").write_bytes(bytes(10000))
+    # train_metadata
+    (raw / "train_metadata").mkdir()
+    (raw / "train_metadata" / "x.spl").write_text("")
+    # test_and_errors/supplement_dk/testdata/...
+    td = raw / "test_and_errors" / "supplement_dk" / "testdata"
+    (td / "audio" / "t1").mkdir(parents=True)
+    (td / "audio" / "t1" / "t.wav").write_bytes(bytes(9000))
+    (td / "metadata").mkdir()
+    (td / "metadata" / "m.spl").write_text("")
+    (td / "sprakbanken_0611_transform.log").write_text("log")
+    (td / "dk_manifest_test.json").write_text("{}")
+    (raw / "test_and_errors" / "supplement_dk" /
+     "dk_errorfiles_train.json").write_text("{}")
+    # metadata_csvs
+    (raw / "metadata_csvs").mkdir()
+    (raw / "metadata_csvs" / "NST_dk.csv").write_text("filename,text\n")
+    (raw / "metadata_csvs" / "supplement_dk.csv").write_text("filename,text\n")
+    # readme
+    (raw / "readme").mkdir()
+    (raw / "readme" / "doc.pdf").write_bytes(b"%PDF")
+
+    nst.reorganise_files(raw)
+    assert (raw / "train" / "audio" / "good.wav").exists()
+    assert (raw / "test" / "audio" / "t.wav").exists()
+    assert (raw / "train" / "metadata.csv").exists()
+    assert (raw / "test" / "metadata.csv").exists()
+    assert (raw / "train" / "errorfiles.json").exists()
+    assert (raw / "test" / "manifest.json").exists()
+    assert (raw / "test" / "log.log").exists()
+    assert (raw / "README.pdf").exists()
+    assert not (raw / "train_audio").exists()
+
+    removed = nst.remove_bad_files(raw)
+    assert removed == 2  # the tiny file + the known-bad prefix
+    assert (raw / "train" / "audio" / "good.wav").exists()
+    assert not (raw / "train" / "audio" / "tiny.wav").exists()
