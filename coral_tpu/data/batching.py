@@ -71,7 +71,15 @@ class BucketBatcher:
 
     def _assemble(self, samples: list[dict], bucket_len: int) -> dict[str, np.ndarray]:
         A, B = self.accum_steps, self.batch_size
-        L = self.max_label_length
+        # Labels pad to the batch's longest row quantised up to 64 (the
+        # reference's padding=longest, realised with a bounded set of static
+        # shapes); the 512 cap matches the reference collator. Full-length
+        # padding would septuple the CTC recursion's (2L+1)-lane state for
+        # typical Danish utterances.
+        longest = max(
+            (len(np.asarray(s["labels"])) for s in samples), default=1
+        )
+        L = min(self.max_label_length, max(64, -(-longest // 64) * 64))
         audio = np.zeros((A * B, bucket_len), dtype=np.float32)
         lengths = np.zeros((A * B,), dtype=np.int32)
         labels = np.full((A * B, L), self.label_pad_id, dtype=np.int32)

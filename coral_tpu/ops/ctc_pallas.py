@@ -35,11 +35,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 BATCH_BLOCK = 8
-CHUNK_T = 128  # recursion steps per grid program (VMEM block: CHUNK_T x 8 x S)
+CHUNK_T = 128  # max recursion steps per grid program
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _chunk_t(Sp: int) -> int:
+    """Time-chunk size fitting the scoped-VMEM budget.
+
+    Each grid program holds the emission and output blocks
+    (chunk x BATCH_BLOCK x Sp f32), both double-buffered across grid steps;
+    long label rows (S' = 2*512+1 padded to 1152 lanes) overflow the 16 MB
+    scoped-VMEM limit at the full 128-step chunk, so the chunk shrinks to fit.
+    """
+    budget = 10 * 1024 * 1024
+    per_step = 2 * 2 * BATCH_BLOCK * Sp * 4  # (emit + out) x double-buffer
+    chunk = budget // per_step
+    return max(8, min(CHUNK_T, (chunk // 8) * 8))
 
 
 def _log_add(a, b):
@@ -65,12 +79,14 @@ def _shift_left(x, k):
 
 
 def _alpha_kernel(
-    emit_ref,        # (CHUNK_T, BB, S) emission block
+    emit_ref,        # (chunk_t, BB, S) emission block
     skip_ref,        # (BB, S) float {0,1}: s-2 -> s transition allowed
     valid_ref,       # (BB, S) float {0,1}: state within 2*label_len+1
     lengths_ref,     # (BB, 1) int32 input lengths
-    out_ref,         # (CHUNK_T, BB, S) alphas
+    out_ref,         # (chunk_t, BB, S) alphas
     state,           # VMEM scratch (BB, S) float32 — carried across chunks
+    *,
+    chunk_t: int,
 ):
     chunk = pl.program_id(1)
     valid = valid_ref[:, :] > 0.5
@@ -78,7 +94,7 @@ def _alpha_kernel(
     lengths = lengths_ref[:, 0]
 
     def body(j, _):
-        t = chunk * CHUNK_T + j
+        t = chunk * chunk_t + j
         emit = emit_ref[j, :, :]
 
         @pl.when(t == 0)
@@ -103,7 +119,7 @@ def _alpha_kernel(
         out_ref[j, :, :] = state[:, :]
         return 0
 
-    jax.lax.fori_loop(0, CHUNK_T, body, 0)
+    jax.lax.fori_loop(0, chunk_t, body, 0)
 
 
 def _beta_kernel(
@@ -112,8 +128,10 @@ def _beta_kernel(
     valid_ref,       # (BB, S)
     lengths_ref,     # (BB, 1)
     last_state_ref,  # (BB, S) float {0,1}: terminal states
-    out_ref,         # (CHUNK_T, BB, S)
+    out_ref,         # (chunk_t, BB, S)
     state,           # VMEM scratch (BB, S)
+    *,
+    chunk_t: int,
 ):
     num_chunks = pl.num_programs(1)
     rev = pl.program_id(1)
@@ -129,8 +147,8 @@ def _beta_kernel(
                                dtype=jnp.float32)
 
     def body(i, _):
-        j = CHUNK_T - 1 - i  # walk the chunk backwards in time
-        t = chunk * CHUNK_T + j
+        j = chunk_t - 1 - i  # walk the chunk backwards in time
+        t = chunk * chunk_t + j
         emit = emit_ref[j, :, :]
 
         beta = state[:, :]
@@ -149,7 +167,7 @@ def _beta_kernel(
         out_ref[j, :, :] = state[:, :]
         return 0
 
-    jax.lax.fori_loop(0, CHUNK_T, body, 0)
+    jax.lax.fori_loop(0, chunk_t, body, 0)
 
 
 def _pad_inputs(emit, skip, valid, lengths, extra=None):
@@ -157,7 +175,7 @@ def _pad_inputs(emit, skip, valid, lengths, extra=None):
     T, B, S = emit.shape
     Bp = _round_up(B, BATCH_BLOCK)
     Sp = _round_up(S, 128)
-    Tp = _round_up(T, CHUNK_T)
+    Tp = _round_up(T, _chunk_t(Sp))
     emit = jnp.pad(emit, ((0, Tp - T), (0, Bp - B), (0, Sp - S)),
                    constant_values=NEG_INF)
     skip = jnp.pad(skip, ((0, Bp - B), (0, Sp - S)))
@@ -183,13 +201,14 @@ def alpha_recursion(
         emit, skip, valid, input_lengths
     )
     Tp = emit_p.shape[0]
-    grid = (Bp // BATCH_BLOCK, Tp // CHUNK_T)
+    chunk_t = _chunk_t(Sp)
+    grid = (Bp // BATCH_BLOCK, Tp // chunk_t)
     out = pl.pallas_call(
-        _alpha_kernel,
+        functools.partial(_alpha_kernel, chunk_t=chunk_t),
         out_shape=jax.ShapeDtypeStruct((Tp, Bp, Sp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((CHUNK_T, BATCH_BLOCK, Sp), lambda b, t: (t, b, 0),
+            pl.BlockSpec((chunk_t, BATCH_BLOCK, Sp), lambda b, t: (t, b, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BATCH_BLOCK, Sp), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -198,7 +217,7 @@ def alpha_recursion(
             pl.BlockSpec((BATCH_BLOCK, 1), lambda b, t: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK_T, BATCH_BLOCK, Sp),
+        out_specs=pl.BlockSpec((chunk_t, BATCH_BLOCK, Sp),
                                lambda b, t: (t, b, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((BATCH_BLOCK, Sp), jnp.float32)],
@@ -222,16 +241,17 @@ def beta_recursion(
         emit, skip_fwd, valid, input_lengths, extra=last_state
     )
     Tp = emit_p.shape[0]
-    num_chunks = Tp // CHUNK_T
+    chunk_t = _chunk_t(Sp)
+    num_chunks = Tp // chunk_t
     grid = (Bp // BATCH_BLOCK, num_chunks)
     # Time-reversed streaming: grid step r reads/writes time chunk n-1-r.
     rev = lambda b, r: (num_chunks - 1 - r, b, 0)  # noqa: E731
     out = pl.pallas_call(
-        _beta_kernel,
+        functools.partial(_beta_kernel, chunk_t=chunk_t),
         out_shape=jax.ShapeDtypeStruct((Tp, Bp, Sp), jnp.float32),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((CHUNK_T, BATCH_BLOCK, Sp), rev,
+            pl.BlockSpec((chunk_t, BATCH_BLOCK, Sp), rev,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BATCH_BLOCK, Sp), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
@@ -242,7 +262,7 @@ def beta_recursion(
             pl.BlockSpec((BATCH_BLOCK, Sp), lambda b, r: (b, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((CHUNK_T, BATCH_BLOCK, Sp), rev,
+        out_specs=pl.BlockSpec((chunk_t, BATCH_BLOCK, Sp), rev,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((BATCH_BLOCK, Sp), jnp.float32)],
         interpret=interpret,

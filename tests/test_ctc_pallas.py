@@ -149,3 +149,34 @@ def test_multi_chunk_parity():
     )
     finite = ref_b > -1e29
     np.testing.assert_allclose(pal_b[finite], ref_b[finite], rtol=1e-5)
+
+
+def test_long_label_rows_fit_scoped_vmem():
+    """Labels padded to the full 512-token budget (S' = 1025 -> 1152 lanes)
+    used to overflow the 16 MB scoped-VMEM limit at the fixed 128-step time
+    chunk; the adaptive chunk must keep parity at long S."""
+    from coral_tpu.ops.ctc_pallas import _chunk_t
+
+    assert _chunk_t(1152) < 128  # the shrink actually engages
+
+    rng = np.random.default_rng(1)
+    Tl, Bl, Vl, Ll = 40, 2, 12, 512
+    logits = rng.standard_normal((Tl, Bl, Vl)).astype(np.float32)
+    log_probs = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    labels = jnp.asarray(rng.integers(0, Vl - 1, size=(Bl, Ll)), jnp.int32)
+    input_lengths = jnp.asarray([Tl, Tl - 3], jnp.int32)
+    label_lengths = jnp.asarray([12, 7], jnp.int32)
+    ext = _extended_labels(labels, BLANK)
+    ref_alphas, ref_logp = _forward_alphas(
+        log_probs, ext, input_lengths, label_lengths, BLANK
+    )
+    pal_alphas, pal_logp = _forward_alphas_pallas(
+        log_probs, ext, input_lengths, label_lengths, BLANK, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(pal_logp), np.asarray(ref_logp), rtol=1e-5
+    )
+    ref = np.asarray(ref_alphas)
+    pal = np.asarray(pal_alphas)
+    finite = ref > -1e29
+    np.testing.assert_allclose(pal[finite], ref[finite], rtol=1e-5)
