@@ -10,11 +10,14 @@ multiple GB per layer. The reference hits the same math through torch SDPA
 (reference: HF ``Wav2Vec2ForCTC`` attention, configured at
 ``src/coral/wav2vec2.py:104-126``).
 
-This kernel computes one (batch, head) row block per grid step, keeping the
-whole (T, T) score matrix in VMEM:
+The kernel processes one batch row per grid step, iterating the heads inside
+the program as lane slices of the flattened ``(B, T, H*d)`` operands — the
+projection outputs' natural layout, so no transposes or XLA layout copies
+surround the custom call (an earlier ``(B, H, T, d)`` variant cost ~22 ms/step
+in copies at B=32). Per head the whole (T, T) score matrix lives in VMEM:
 
-- forward: ``softmax(q k^T * scale + k_bias) v`` with fp32 softmax, nothing but
-  ``o`` written back to HBM;
+- forward: ``softmax(q k^T * scale + k_bias) v`` with fp32 softmax; nothing
+  but ``o`` is written back to HBM;
 - backward: recomputes scores/probabilities on-MXU from the saved q/k/v (the
   fp32 (T, T) tensors never touch HBM), then forms dv/dq/dk with five small
   matmuls per head.
@@ -35,77 +38,99 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float):
-    q = q_ref[0, 0]  # (T, d)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * sm_scale + bias_ref[0]  # (1, T) broadcasts over query rows
-    m = jnp.max(s, axis=1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
-    p = (p / l).astype(q.dtype)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float,
+                head_dim: int):
+    bias = bias_ref[0]  # (1, T), broadcasts over query rows
+    n_heads = q_ref.shape[2] // head_dim
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, lanes]  # (T, d)
+        k = k_ref[0, :, lanes]
+        v = v_ref[0, :, lanes]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p = (p / l).astype(q.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        o_ref[0, :, lanes] = o.astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                *, sm_scale: float):
-    q = q_ref[0, 0]
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    do = do_ref[0, 0]
+                *, sm_scale: float, head_dim: int):
+    bias = bias_ref[0]
+    n_heads = q_ref.shape[2] // head_dim
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, lanes]
+        k = k_ref[0, :, lanes]
+        v = v_ref[0, :, lanes]
+        do = do_ref[0, :, lanes]
 
-    # Recompute probabilities (fp32, VMEM-resident).
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    s = s * sm_scale + bias_ref[0]
-    m = jnp.max(s, axis=1, keepdims=True)
-    e = jnp.exp(s - m)
-    l = jnp.sum(e, axis=1, keepdims=True)
-    p = e / l
+        # Recompute probabilities (fp32, VMEM-resident).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s * sm_scale + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        p = e / l
 
-    pb = p.astype(q.dtype)
-    dv = jax.lax.dot_general(
-        pb, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    delta = jnp.sum(p * dp, axis=1, keepdims=True)
-    ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dk = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+        pb = p.astype(q.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, lanes] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, lanes] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
 
 
-def _specs(T, d):
-    # Arrays are (B, H, T, d); one (T, d) slab per (batch, head) grid step.
-    # The trailing (T, d) block dims equal the full array dims, which keeps
-    # Mosaic's lane/sublane constraints satisfied for any d >= 8.
-    qkv = pl.BlockSpec((1, 1, T, d), lambda b, h: (b, h, 0, 0))
+def _head_groups(HD: int, head_dim: int, n_blocks: int) -> int:
+    """Split the flattened head axis into head-aligned lane groups so that
+    ``n_blocks`` double-buffered (T, HD/groups) slabs stay inside scoped VMEM
+    (~512 lanes per group keeps the backward's 8 blocks under ~10 MB)."""
+    groups = max(1, HD // 512)
+    while HD % groups or (HD // groups) % head_dim:
+        groups -= 1
+    return groups
+
+
+def _specs(T, HD, groups):
+    # Arrays are (B, T, H*d); one (T, H*d/groups) lane slab per grid step.
+    qkv = pl.BlockSpec((1, T, HD // groups), lambda b, g: (b, 0, g))
     # bias is (B, 1, T): trailing block dims equal the array dims.
-    bias = pl.BlockSpec((1, 1, T), lambda b, h: (b, 0, 0))
+    bias = pl.BlockSpec((1, 1, T), lambda b, g: (b, 0, 0))
     return qkv, bias
 
 
-def _fwd_pallas(q, k, v, bias, sm_scale, interpret):
-    B, H, T, d = q.shape
-    qkv_spec, bias_spec = _specs(T, d)
+def _fwd_pallas(q, k, v, bias, sm_scale, head_dim, interpret):
+    B, T, HD = q.shape
+    groups = _head_groups(HD, head_dim, n_blocks=5)
+    qkv_spec, bias_spec = _specs(T, HD, groups)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, sm_scale=sm_scale),
-        grid=(B, H),
+        functools.partial(_fwd_kernel, sm_scale=sm_scale, head_dim=head_dim),
+        grid=(B, groups),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
         out_specs=qkv_spec,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -113,12 +138,13 @@ def _fwd_pallas(q, k, v, bias, sm_scale, interpret):
     )(q, k, v, bias)
 
 
-def _bwd_pallas(q, k, v, bias, do, sm_scale, interpret):
-    B, H, T, d = q.shape
-    qkv_spec, bias_spec = _specs(T, d)
+def _bwd_pallas(q, k, v, bias, do, sm_scale, head_dim, interpret):
+    B, T, HD = q.shape
+    groups = _head_groups(HD, head_dim, n_blocks=8)
+    qkv_spec, bias_spec = _specs(T, HD, groups)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, sm_scale=sm_scale),
-        grid=(B, H),
+        functools.partial(_bwd_kernel, sm_scale=sm_scale, head_dim=head_dim),
+        grid=(B, groups),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec],
         out_specs=[qkv_spec, qkv_spec, qkv_spec],
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
@@ -132,68 +158,71 @@ def _bwd_pallas(q, k, v, bias, do, sm_scale, interpret):
 # pallas_call lowers to an opaque custom call, which the SPMD partitioner
 # cannot split on its own — under a pjit-sharded batch it would all-gather
 # the full batch onto every device. The kernel is embarrassingly parallel
-# over (batch, head), so custom_partitioning declares exactly that: inputs
-# and outputs keep whatever sharding they have on dims 0 (batch) and 1
-# (heads); T and d are forced replicated; each device runs the kernel on its
-# local (B/dp, H/tp) shard. This covers both data parallelism and
-# Megatron-style head-sharded tensor parallelism (parallel/tp.py).
+# over the batch (grid) and the heads (lane groups), so custom_partitioning
+# declares exactly that: inputs and outputs keep whatever sharding they have
+# on dim 0 (batch) and dim 2 (the flattened head axis — Megatron TP shards it
+# in head-aligned lane groups); T is forced replicated. Each device runs the
+# kernel on its local (B/dp, H*d/tp) shard.
 # ---------------------------------------------------------------------------
 
 
 def _bh_only(sharding, mesh, ndim):
-    """Keep a NamedSharding's spec on dims (0, 1); replicate the rest."""
+    """Keep a NamedSharding's spec on dims (0, 2); replicate the rest."""
     spec = [None] * ndim
     if isinstance(sharding, NamedSharding):
         got = list(sharding.spec) + [None] * ndim
         spec[0] = got[0]
-        if ndim == 4:
-            spec[1] = got[1]
+        if ndim == 3:
+            spec[2] = got[2]
     return NamedSharding(mesh, P(*spec))
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cp(sm_scale, interpret):
+def _fwd_cp(sm_scale, head_dim, interpret):
     f = custom_partitioning(
-        lambda q, k, v, bias: _fwd_pallas(q, k, v, bias, sm_scale, interpret)
+        lambda q, k, v, bias: _fwd_pallas(
+            q, k, v, bias, sm_scale, head_dim, interpret
+        )
     )
 
     def infer(mesh, arg_infos, result_infos):
-        return _bh_only(arg_infos[0].sharding, mesh, 4)
+        return _bh_only(arg_infos[0].sharding, mesh, 3)
 
     def partition(mesh, arg_infos, result_infos):
-        out_sh = _bh_only(arg_infos[0].sharding, mesh, 4)
+        out_sh = _bh_only(arg_infos[0].sharding, mesh, 3)
         batch_spec = out_sh.spec[0]
         arg_shs = (
             out_sh, out_sh, out_sh,
             NamedSharding(mesh, P(batch_spec, None, None)),
         )
         lower = functools.partial(
-            _fwd_pallas, sm_scale=sm_scale, interpret=interpret
+            _fwd_pallas, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
         )
         return mesh, lower, out_sh, arg_shs
 
     f.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
-        sharding_rule="b h t d, b h t d, b h t d, b u t -> b h t d",
+        sharding_rule="b t h, b t h, b t h, b u t -> b t h",
     )
     return f
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cp(sm_scale, interpret):
+def _bwd_cp(sm_scale, head_dim, interpret):
     f = custom_partitioning(
         lambda q, k, v, bias, do: _bwd_pallas(
-            q, k, v, bias, do, sm_scale, interpret
+            q, k, v, bias, do, sm_scale, head_dim, interpret
         )
     )
 
     def infer(mesh, arg_infos, result_infos):
-        sh = _bh_only(arg_infos[0].sharding, mesh, 4)
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
         return (sh, sh, sh)
 
     def partition(mesh, arg_infos, result_infos):
-        sh = _bh_only(arg_infos[0].sharding, mesh, 4)
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
         batch_spec = sh.spec[0]
         arg_shs = (
             sh, sh, sh,
@@ -201,7 +230,8 @@ def _bwd_cp(sm_scale, interpret):
             sh,
         )
         lower = functools.partial(
-            _bwd_pallas, sm_scale=sm_scale, interpret=interpret
+            _bwd_pallas, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
         )
         return mesh, lower, (sh, sh, sh), arg_shs
 
@@ -209,27 +239,26 @@ def _bwd_cp(sm_scale, interpret):
         infer_sharding_from_operands=infer,
         partition=partition,
         sharding_rule=(
-            "b h t d, b h t d, b h t d, b u t, b h t d "
-            "-> b h t d, b h t d, b h t d"
+            "b t h, b t h, b t h, b u t, b t h -> b t h, b t h, b t h"
         ),
     )
     return f
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _attention(q, k, v, bias, sm_scale, interpret):
-    o, _ = _attention_fwd(q, k, v, bias, sm_scale, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention(q, k, v, bias, sm_scale, head_dim, interpret):
+    o, _ = _attention_fwd(q, k, v, bias, sm_scale, head_dim, interpret)
     return o
 
 
-def _attention_fwd(q, k, v, bias, sm_scale, interpret):
-    o = _fwd_cp(sm_scale, interpret)(q, k, v, bias)
+def _attention_fwd(q, k, v, bias, sm_scale, head_dim, interpret):
+    o = _fwd_cp(sm_scale, head_dim, interpret)(q, k, v, bias)
     return o, (q, k, v, bias)
 
 
-def _attention_bwd(sm_scale, interpret, res, do):
+def _attention_bwd(sm_scale, head_dim, interpret, res, do):
     q, k, v, bias = res
-    dq, dk, dv = _bwd_cp(sm_scale, interpret)(q, k, v, bias, do)
+    dq, dk, dv = _bwd_cp(sm_scale, head_dim, interpret)(q, k, v, bias, do)
     return dq, dk, dv, None
 
 
@@ -262,6 +291,6 @@ def short_t_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     bias = jnp.where(pad_mask, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]
-    bht = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # noqa: E731
-    o = _attention(bht(q), bht(k), bht(v), bias, sm_scale, interpret)
-    return bht(o)
+    flat = lambda x: x.reshape(B, T, H * d)  # noqa: E731
+    o = _attention(flat(q), flat(k), flat(v), bias, sm_scale, d, interpret)
+    return o.reshape(B, T, H, d)
