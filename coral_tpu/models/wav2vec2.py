@@ -317,16 +317,18 @@ class FeedForward(nn.Module):
         x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
                      name="intermediate_dense")(x)
         x = checkpoint_name(x, "ffn_hidden")
-        x = jax.nn.gelu(x, approximate=False)
         if cfg.activation_dropout > 0.0 and not deterministic:
-            # Fused Pallas dropout: mask bits are generated in VMEM and the
-            # backward pass re-seeds the same stream, so no 4-byte-per-element
-            # rng buffer ever hits HBM (ops/dropout_pallas.py).
-            from ..ops.dropout_pallas import dropout as fused_dropout
+            # Fused Pallas GELU+dropout: one pass each way, mask bits
+            # generated in VMEM, backward re-seeds the same stream and
+            # recomputes gelu' in-kernel — no rng buffers or duplicate
+            # 131 MB activation tensors in HBM (ops/gelu_dropout_pallas.py).
+            from ..ops.gelu_dropout_pallas import gelu_dropout
 
-            x = fused_dropout(
+            x = gelu_dropout(
                 x, cfg.activation_dropout, self.make_rng("dropout")
             )
+        else:
+            x = jax.nn.gelu(x, approximate=False)
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output_dense")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         return x
