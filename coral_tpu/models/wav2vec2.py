@@ -133,6 +133,12 @@ def _conv1d(x, kernel, bias, stride: int = 1, padding=0, groups: int = 1,
     return out
 
 
+# Note: expressing these convs as strided-slice patches + one MXU matmul was
+# measured SLOWER end-to-end (745 -> 411 audio-s/s at B=32 x 10 s): the
+# materialised (B, T, K*C) patch tensors cost more HBM traffic than XLA's
+# slow conv-dW reduce fusions save. Keep the native conv lowering.
+
+
 class ConvLayer(nn.Module):
     """One feature-encoder conv block: conv -> (layer norm) -> gelu."""
 
