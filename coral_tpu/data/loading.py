@@ -56,11 +56,18 @@ def make_raw_source(
     """
     if dataset_id.startswith("synthetic://"):
         n = int(dataset_id.split("://")[1])
+        # Generate once, reshuffle per epoch: per-clip host DSP re-run every
+        # epoch was costing ~40% of end-to-end train throughput at B=64 on
+        # the synthetic benchmark source.
+        cache: dict[tuple[int, int], list] = {}
 
         def synthetic_factory(epoch: int = 0) -> Iterable[dict]:
             import numpy as np
 
-            examples = make_synthetic_examples(n=n, seed=seed)
+            key = (n, seed)
+            if key not in cache:
+                cache[key] = make_synthetic_examples(n=n, seed=seed)
+            examples = cache[key]
             order = np.random.default_rng(seed + epoch).permutation(len(examples))
             return [examples[i] for i in order]
 

@@ -174,6 +174,11 @@ def finetune(config: Any) -> dict[str, float]:
         max_label_length=int(
             config.get("max_label_length") or setup.max_label_length
         ),
+        # PCM16 infeed halves host->device bytes (lossless for 16-bit-sourced
+        # corpora); audio_transfer_dtype=float32 opts out.
+        audio_transfer_dtype=str(
+            config.get("audio_transfer_dtype", "int16")
+        ),
     )
 
     def batch_stream():

@@ -24,6 +24,14 @@ import optax
 from flax import struct
 
 
+
+def _device_audio(audio):
+    """Accept PCM16 infeed (half the host->device bytes) or float32."""
+    if audio.dtype == jnp.int16:
+        return audio.astype(jnp.float32) / 32768.0
+    return audio
+
+
 class TrainState(struct.PyTreeNode):
     """Carried training state (a pytree; jit-donatable)."""
 
@@ -63,7 +71,7 @@ def make_ctc_train_step(
     from ..ops import ctc_loss
 
     def microbatch_loss(params, mb, dropout_rng, spec_rng, aug_rng):
-        audio = mb["input_values"]
+        audio = _device_audio(mb["input_values"])
         if augment:
             # The reference's CPU-worker augmentation chain (gain, background/
             # colored noise, filters; src/coral/data.py:710-738) runs fused
@@ -157,7 +165,7 @@ def make_ctc_eval_step(model) -> Callable:
     def eval_step(params, batch):
         logits, frame_lengths = model.apply(
             {"params": params},
-            znorm(batch["input_values"], batch["input_lengths"]),
+            znorm(_device_audio(batch["input_values"]), batch["input_lengths"]),
             batch["input_lengths"],
             deterministic=True,
         )
@@ -193,7 +201,7 @@ def make_seq2seq_train_step(
     from ..models import whisper as W
 
     def microbatch_loss(params, mb, rng):
-        audio = mb["input_values"]
+        audio = _device_audio(mb["input_values"])
         # 160 = mel hop, x2 for the encoder's stride-2 conv. 30 s (480000) for
         # checkpoint parity; any multiple of 320 compiles (short-window runs).
         assert audio.shape[-1] % 320 == 0, (
@@ -304,7 +312,7 @@ def make_whisper_generate_step(
 
     def generate_step(params, batch):
         feats = log_mel_spectrogram(
-            peak_normalize(batch["input_values"]),
+            peak_normalize(_device_audio(batch["input_values"])),
             n_mels=model_config.num_mel_bins,
             dtype=model_config.dtype,
         )

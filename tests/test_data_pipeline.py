@@ -266,3 +266,33 @@ def test_train_factory_reshuffles_per_epoch(config_path):
     assert epoch0 == epoch0_again  # deterministic within an epoch
     assert sorted(epoch0) == sorted(epoch1)  # same multiset of samples
     assert epoch0 != epoch1  # different order across epochs
+
+
+def test_pcm16_transfer_roundtrip():
+    """int16 infeed mode quantises audio losslessly for PCM16-sourced values
+    and the device-side converter restores the float range."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from coral_tpu.data.batching import BucketBatcher
+    from coral_tpu.training.train_state import _device_audio
+
+    rng = np.random.default_rng(0)
+    pcm = rng.integers(-32768, 32768, size=16000).astype(np.int16)
+    audio = pcm.astype(np.float32) / 32768.0
+    samples = [{"audio_array": audio, "labels": [1, 2, 3]} for _ in range(2)]
+
+    b16 = BucketBatcher(batch_size=2, max_seconds=1.0, num_buckets=1,
+                        audio_transfer_dtype="int16")
+    batch = next(iter(b16(samples)))
+    assert batch["input_values"].dtype == np.int16
+    restored = np.asarray(
+        _device_audio(jnp.asarray(batch["input_values"]))
+    )
+    np.testing.assert_array_equal(
+        restored[0, 0, : len(audio)] * 32768.0, pcm.astype(np.float32)
+    )
+
+    bf = BucketBatcher(batch_size=2, max_seconds=1.0, num_buckets=1,
+                       audio_transfer_dtype="float32")
+    assert next(iter(bf(samples)))["input_values"].dtype == np.float32
