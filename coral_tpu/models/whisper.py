@@ -55,6 +55,9 @@ class WhisperConfig:
     mask_feature_prob: float = 0.5
     mask_feature_length: int = 64
     dtype: Any = jnp.float32
+    # Encoder self-attention backend: "flash" (blocked Pallas kernel; wins at
+    # the encoder's T=1500) or "xla". Decoder/cross attention always use XLA.
+    encoder_attention_impl: str = "flash"
 
     @property
     def head_dim(self) -> int:
@@ -268,19 +271,31 @@ def _attention(
     dtype,
     mask: jnp.ndarray | None = None,
     is_causal: bool = False,
+    impl: str = "xla",
 ) -> jnp.ndarray:
     """Multi-head attention; q/k/v from (possibly different) sources.
 
-    ``mask`` is a boolean (B, 1, Tq, Tk) or (B, Tk) keep-mask.
+    ``mask`` is a boolean (B, 1, Tq, Tk) or (B, Tk) keep-mask. ``impl="flash"``
+    routes unmasked non-causal self-attention through the blocked Pallas flash
+    kernel — a clear win at the encoder's T=1500 (12 ms vs 21 ms value+grad
+    per whisper-small layer at B=16); everything else stays on the XLA path.
     """
     q = _split_heads(_dense(p["q_proj"], x_q, dtype), n_heads)
     k = _split_heads(_dense(p["k_proj"], x_kv, dtype), n_heads)
     v = _split_heads(_dense(p["v_proj"], x_kv, dtype), n_heads)
-    if mask is not None and mask.ndim == 2:
-        mask = mask[:, None, None, :]
-    out = jax.nn.dot_product_attention(
-        q, k, v, mask=mask, is_causal=is_causal
-    )
+    if (
+        impl == "flash" and mask is None and not is_causal
+        and q.shape[1] >= 1024 and jax.default_backend() == "tpu"
+    ):
+        from ..ops.flash_attention import flash_self_attention
+
+        out = flash_self_attention(q, k, v)
+    else:
+        if mask is not None and mask.ndim == 2:
+            mask = mask[:, None, None, :]
+        out = jax.nn.dot_product_attention(
+            q, k, v, mask=mask, is_causal=is_causal
+        )
     return _dense(p["out_proj"], _merge_heads(out), dtype)
 
 
@@ -337,7 +352,10 @@ def encode(
 
     def layer(x, lp):
         h = _layer_norm(lp["self_attn_layer_norm"], x)
-        x = x + _attention(lp["self_attn"], h, h, n_heads, dtype)
+        x = x + _attention(
+            lp["self_attn"], h, h, n_heads, dtype,
+            impl=getattr(config, "encoder_attention_impl", "flash"),
+        )
         h = _layer_norm(lp["final_layer_norm"], x)
         h = jax.nn.gelu(_dense(lp["fc1"], h, dtype))
         x = x + _dense(lp["fc2"], h, dtype)

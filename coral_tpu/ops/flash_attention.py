@@ -1,0 +1,138 @@
+"""GSPMD-partitioned blocked flash attention for long sequences.
+
+The Whisper encoder attends over T=1500 mel frames; XLA materialises the fp32
+``(B, H, T, T)`` score/softmax tensors in HBM (~110 MB each per whisper-small
+layer at B=16), while the stock Pallas flash kernel
+(``jax.experimental.pallas.ops.tpu.flash_attention``) streams them through
+VMEM — measured 12 ms vs 21 ms value+grad per layer. This module adds the two
+pieces that kernel lacks for production use here:
+
+- **partitioning**: pallas custom calls are opaque to the SPMD partitioner
+  (a pjit-sharded batch would be all-gathered); ``custom_partitioning``
+  declares the computation batch/head-parallel, and a ``custom_vjp`` routes
+  the backward through a partitioned wrapper too (the backward lower function
+  recomputes the flash forward per shard — the whisper encoder runs under
+  full rematerialisation anyway, so this mirrors the existing cost shape);
+- **ragged T**: inputs are padded to the 512/768 block grid with segment ids
+  masking the padded keys.
+
+For the short-T wav2vec2 shapes (T~500, d=64) the whole-row kernel in
+``ops/attention_pallas.py`` is faster than both this and XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def _flash(q, k, v):
+    """Stock flash kernel over (B, H, T, d) with T padded to the block grid."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, H, T, d = q.shape
+    Tp = -(-T // 512) * 512
+    blk = 768 if Tp % 768 == 0 else 512
+    pad = Tp - T
+    if pad:
+        padded = lambda x: jnp.pad(  # noqa: E731
+            x, ((0, 0), (0, 0), (0, pad), (0, 0))
+        )
+        q, k, v = padded(q), padded(k), padded(v)
+    ids = jnp.pad(jnp.ones((B, T), jnp.int32), ((0, 0), (0, pad)))
+    sizes = BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    out = flash_attention(
+        q, k, v, segment_ids=SegmentIds(q=ids, kv=ids), causal=False,
+        sm_scale=float(d) ** -0.5, block_sizes=sizes,
+    )
+    return out[:, :, :T, :]
+
+
+def _bh_sharding(sharding, mesh):
+    spec = [None] * 4
+    if isinstance(sharding, NamedSharding):
+        got = list(sharding.spec) + [None] * 4
+        spec[0], spec[1] = got[0], got[1]
+    return NamedSharding(mesh, P(*spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp():
+    f = custom_partitioning(lambda q, k, v: _flash(q, k, v))
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bh_sharding(arg_infos[0].sharding, mesh)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_sharding(arg_infos[0].sharding, mesh)
+        return mesh, _flash, sh, (sh, sh, sh)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b h t d, b h t d, b h t d -> b h t d",
+    )
+    return f
+
+
+def _grads(q, k, v, do):
+    _, vjp = jax.vjp(_flash, q, k, v)
+    return vjp(do)
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp():
+    f = custom_partitioning(lambda q, k, v, do: _grads(q, k, v, do))
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_sharding(arg_infos[0].sharding, mesh)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_sharding(arg_infos[0].sharding, mesh)
+        return mesh, _grads, (sh, sh, sh), (sh, sh, sh, sh)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b h t d, b h t d, b h t d, b h t d "
+            "-> b h t d, b h t d, b h t d"
+        ),
+    )
+    return f
+
+
+@jax.custom_vjp
+def _attention(q, k, v):
+    return _fwd_cp()(q, k, v)
+
+
+def _attention_fwd(q, k, v):
+    return _attention(q, k, v), (q, k, v)
+
+
+def _attention_bwd(res, do):
+    q, k, v = res
+    return tuple(_bwd_cp()(q, k, v, do))
+
+
+_attention.defvjp(_attention_fwd, _attention_bwd)
+
+
+def flash_self_attention(q, k, v):
+    """Non-causal unmasked self-attention for (B, T, H, d) activations."""
+    bht = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # noqa: E731
+    return bht(_attention(bht(q), bht(k), bht(v)))
