@@ -263,6 +263,21 @@ def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(B, T, H * Dh)
 
 
+def _ffn_activation(h: jnp.ndarray, act_drop: float, lrng) -> jnp.ndarray:
+    """FFN activation with HF-parity activation dropout.
+
+    The reference fine-tunes with ``activation_dropout`` (HF WhisperEncoder/
+    DecoderLayer apply it after the fc1 activation; surface:
+    ``config/model/whisper-*.yaml``). Routed through the fused Pallas
+    GELU+dropout kernel on TPU.
+    """
+    if act_drop > 0.0:
+        from ..ops.gelu_dropout_pallas import gelu_dropout
+
+        return gelu_dropout(h, act_drop, lrng).astype(h.dtype)
+    return jax.nn.gelu(h, approximate=False)
+
+
 def _attention(
     p: dict,
     x_q: jnp.ndarray,
@@ -342,22 +357,33 @@ def encode(
         x = _spec_augment(rng, x, config)
 
     x = jax.nn.gelu(_conv1d_ncw(x, p["conv1"]["kernel"], p["conv1"]["bias"], 1,
-                                dtype))
+                                dtype), approximate=False)
     x = jax.nn.gelu(_conv1d_ncw(x, p["conv2"]["kernel"], p["conv2"]["bias"], 2,
-                                dtype))
+                                dtype), approximate=False)
     T = x.shape[1]
     x = x + p["embed_positions"][:T].astype(dtype)
 
     n_heads = config.encoder_attention_heads
+    act_drop = 0.0 if deterministic else config.activation_dropout
+    if act_drop > 0:
+        assert rng is not None, "activation dropout needs an rng"
+        rng, ffn_rng = jax.random.split(rng)
+        layer_rngs = jax.random.split(ffn_rng, config.encoder_layers)
+    else:
+        layer_rngs = jnp.zeros(
+            (config.encoder_layers,) + jax.random.PRNGKey(0).shape,
+            jax.random.PRNGKey(0).dtype,
+        )
 
-    def layer(x, lp):
+    def layer(x, inputs):
+        lp, lrng = inputs
         h = _layer_norm(lp["self_attn_layer_norm"], x)
         x = x + _attention(
             lp["self_attn"], h, h, n_heads, dtype,
             impl=getattr(config, "encoder_attention_impl", "flash"),
         )
         h = _layer_norm(lp["final_layer_norm"], x)
-        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype))
+        h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 
@@ -365,7 +391,7 @@ def encode(
         layer = jax.checkpoint(
             layer, policy=jax.checkpoint_policies.nothing_saveable
         )
-    x, _ = jax.lax.scan(layer, x, p["layers"])
+    x, _ = jax.lax.scan(layer, x, (p["layers"], layer_rngs))
     return _layer_norm(p["layer_norm"], x)
 
 
@@ -423,13 +449,25 @@ def decode_train(
         rng, drop_rng = jax.random.split(rng)
         x = _dropout(drop_rng, x, config.dropout, deterministic)
 
-    def layer(x, lp):
+    act_drop = 0.0 if deterministic else config.activation_dropout
+    if act_drop > 0:
+        assert rng is not None, "activation dropout needs an rng"
+        rng, ffn_rng = jax.random.split(rng)
+        layer_rngs = jax.random.split(ffn_rng, config.decoder_layers)
+    else:
+        layer_rngs = jnp.zeros(
+            (config.decoder_layers,) + jax.random.PRNGKey(0).shape,
+            jax.random.PRNGKey(0).dtype,
+        )
+
+    def layer(x, inputs):
+        lp, lrng = inputs
         h = _layer_norm(lp["self_attn_layer_norm"], x)
         x = x + _attention(lp["self_attn"], h, h, n_heads, dtype, is_causal=True)
         h = _layer_norm(lp["encoder_attn_layer_norm"], x)
         x = x + _attention(lp["encoder_attn"], h, encoder_out, n_heads, dtype)
         h = _layer_norm(lp["final_layer_norm"], x)
-        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype))
+        h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 
@@ -437,7 +475,7 @@ def decode_train(
         layer = jax.checkpoint(
             layer, policy=jax.checkpoint_policies.nothing_saveable
         )
-    x, _ = jax.lax.scan(layer, x, p["layers"])
+    x, _ = jax.lax.scan(layer, x, (p["layers"], layer_rngs))
     x = _layer_norm(p["layer_norm"], x)
     # Tied output projection; logits in float32 for a stable softmax.
     return x.astype(jnp.float32) @ p["embed_tokens"].T.astype(jnp.float32)
@@ -551,7 +589,7 @@ def decode_step(
         x = x + _dense(lp["encoder_attn"]["out_proj"], _merge_heads(attn), dtype)
 
         h = _layer_norm(lp["final_layer_norm"], x)
-        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype))
+        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype), approximate=False)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, (layer_ck, layer_cv)
 
