@@ -28,6 +28,20 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name
+
+# Remat policies for the layer scans. "save_matmul_inputs" stores exactly the
+# inputs of the big matmuls per layer (LN outputs, q/k/v, attention context,
+# FFN pre-activation input) so backward recomputes only the attention kernel
+# and elementwise chains — the same trade as the wav2vec2 encoder
+# (models/wav2vec2.py _REMAT_POLICIES).
+REMAT_POLICIES = {
+    "nothing_saveable": jax.checkpoint_policies.nothing_saveable,
+    "save_matmul_inputs": jax.checkpoint_policies.save_only_these_names(
+        "attn_in", "q", "k", "v", "attn_ctx", "cross_in", "cross_q",
+        "cross_ctx", "ffn_in",
+    ),
+}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -58,6 +72,8 @@ class WhisperConfig:
     # Encoder self-attention backend: "flash" (blocked Pallas kernel; wins at
     # the encoder's T=1500) or "xla". Decoder/cross attention always use XLA.
     encoder_attention_impl: str = "flash"
+    # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
+    remat_policy: str = "save_matmul_inputs"
 
     @property
     def head_dim(self) -> int:
@@ -295,9 +311,17 @@ def _attention(
     kernel — a clear win at the encoder's T=1500 (12 ms vs 21 ms value+grad
     per whisper-small layer at B=16); everything else stays on the XLA path.
     """
-    q = _split_heads(_dense(p["q_proj"], x_q, dtype), n_heads)
+    self_attn = x_q is x_kv
+    prefix = "" if self_attn else "cross_"
+    q = checkpoint_name(
+        _split_heads(_dense(p["q_proj"], x_q, dtype), n_heads),
+        prefix + "q",
+    )
     k = _split_heads(_dense(p["k_proj"], x_kv, dtype), n_heads)
     v = _split_heads(_dense(p["v_proj"], x_kv, dtype), n_heads)
+    if self_attn:
+        k = checkpoint_name(k, "k")
+        v = checkpoint_name(v, "v")
     if (
         impl == "flash" and mask is None and not is_causal
         and q.shape[1] >= 1024 and jax.default_backend() == "tpu"
@@ -311,7 +335,8 @@ def _attention(
         out = jax.nn.dot_product_attention(
             q, k, v, mask=mask, is_causal=is_causal
         )
-    return _dense(p["out_proj"], _merge_heads(out), dtype)
+    out = checkpoint_name(_merge_heads(out), prefix + "attn_ctx")
+    return _dense(p["out_proj"], out, dtype)
 
 
 # --------------------------------------------------------------------------------
@@ -377,19 +402,24 @@ def encode(
 
     def layer(x, inputs):
         lp, lrng = inputs
-        h = _layer_norm(lp["self_attn_layer_norm"], x)
+        h = checkpoint_name(
+            _layer_norm(lp["self_attn_layer_norm"], x), "attn_in"
+        )
         x = x + _attention(
             lp["self_attn"], h, h, n_heads, dtype,
             impl=getattr(config, "encoder_attention_impl", "flash"),
         )
-        h = _layer_norm(lp["final_layer_norm"], x)
+        h = checkpoint_name(_layer_norm(lp["final_layer_norm"], x), "ffn_in")
         h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 
     if gradient_checkpointing:
         layer = jax.checkpoint(
-            layer, policy=jax.checkpoint_policies.nothing_saveable
+            layer,
+            policy=REMAT_POLICIES[
+                getattr(config, "remat_policy", "save_matmul_inputs")
+            ],
         )
     x, _ = jax.lax.scan(layer, x, (p["layers"], layer_rngs))
     return _layer_norm(p["layer_norm"], x)
@@ -462,18 +492,25 @@ def decode_train(
 
     def layer(x, inputs):
         lp, lrng = inputs
-        h = _layer_norm(lp["self_attn_layer_norm"], x)
+        h = checkpoint_name(
+            _layer_norm(lp["self_attn_layer_norm"], x), "attn_in"
+        )
         x = x + _attention(lp["self_attn"], h, h, n_heads, dtype, is_causal=True)
-        h = _layer_norm(lp["encoder_attn_layer_norm"], x)
+        h = checkpoint_name(
+            _layer_norm(lp["encoder_attn_layer_norm"], x), "cross_in"
+        )
         x = x + _attention(lp["encoder_attn"], h, encoder_out, n_heads, dtype)
-        h = _layer_norm(lp["final_layer_norm"], x)
+        h = checkpoint_name(_layer_norm(lp["final_layer_norm"], x), "ffn_in")
         h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 
     if gradient_checkpointing:
         layer = jax.checkpoint(
-            layer, policy=jax.checkpoint_policies.nothing_saveable
+            layer,
+            policy=REMAT_POLICIES[
+                getattr(config, "remat_policy", "save_matmul_inputs")
+            ],
         )
     x, _ = jax.lax.scan(layer, x, (p["layers"], layer_rngs))
     x = _layer_norm(p["layer_norm"], x)

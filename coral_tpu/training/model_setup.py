@@ -14,6 +14,7 @@ exposes the same small surface to the trainer loop:
 
 from __future__ import annotations
 
+import dataclasses
 import logging
 import os
 from pathlib import Path
@@ -341,6 +342,18 @@ class WhisperSetup:
             mask_time_length=model_cfg.get("mask_time_length", 10),
             mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
             mask_feature_length=model_cfg.get("mask_feature_length", 64),
+        )
+        # Selective remat (save the matmul inputs; +7% measured on small) fits
+        # up to whisper-medium on one v5e; the 1280-wide large family needs
+        # full recompute. Override with model.remat_policy.
+        arch_default_policy = (
+            "nothing_saveable"
+            if self.model_config.d_model >= 1280
+            else "save_matmul_inputs"
+        )
+        self.model_config = dataclasses.replace(
+            self.model_config,
+            remat_policy=model_cfg.get("remat_policy", arch_default_policy),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))

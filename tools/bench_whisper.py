@@ -31,6 +31,8 @@ def main() -> None:
     p.add_argument("--label-len", type=int, default=128)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--remat", default=None,
+                   help="nothing_saveable | save_matmul_inputs")
     p.add_argument("--profile-dir", default=None)
     args = p.parse_args()
 
@@ -40,7 +42,10 @@ def main() -> None:
     from coral_tpu.training.train_state import make_seq2seq_train_step
 
     mesh = create_mesh()
-    cfg = getattr(WhisperConfig, args.arch)(dtype=jnp.bfloat16)
+    kw = {}
+    if args.remat:
+        kw["remat_policy"] = args.remat
+    cfg = getattr(WhisperConfig, args.arch)(dtype=jnp.bfloat16, **kw)
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     tx, schedule = create_optimizer(
         learning_rate=1e-5, warmup_steps=100, max_steps=100_000,
