@@ -39,7 +39,7 @@ REMAT_POLICIES = {
     "nothing_saveable": jax.checkpoint_policies.nothing_saveable,
     "save_matmul_inputs": jax.checkpoint_policies.save_only_these_names(
         "attn_in", "q", "k", "v", "attn_ctx", "cross_in", "cross_q",
-        "cross_ctx", "ffn_in",
+        "cross_attn_ctx", "ffn_in",
     ),
 }
 
@@ -379,7 +379,8 @@ def encode(
 
     if config.apply_spec_augment and not deterministic:
         assert rng is not None, "SpecAugment needs an rng"
-        x = _spec_augment(rng, x, config)
+        rng, sa_rng = jax.random.split(rng)
+        x = _spec_augment(sa_rng, x, config)
 
     x = jax.nn.gelu(_conv1d_ncw(x, p["conv1"]["kernel"], p["conv1"]["bias"], 1,
                                 dtype), approximate=False)
@@ -971,12 +972,18 @@ def beam_generate(
          finished0),
     )
 
-    # Length-normalised final selection (generated tokens up to + incl. EOS).
+    # Length-normalised final selection. HF's BeamSearchScorer divides by the
+    # FULL hypothesis length (prompt included, plus the EOS when one was
+    # emitted); beams that never finished score over max_length.
     positions = jnp.arange(max_length)
-    gen_mask = (positions[None, None, :] >= n_forced) & (
-        buffer != eos_id
+    gen_mask = (positions[None, None, :] >= n_forced) & (buffer != eos_id)
+    gen_counts = jnp.sum(gen_mask, axis=-1)
+    has_eos = jnp.any(
+        (buffer == eos_id) & (positions[None, None, :] >= n_forced), axis=-1
     )
-    lengths = jnp.sum(gen_mask, axis=-1) + 1  # + the EOS itself
+    lengths = jnp.where(
+        has_eos, n_forced + gen_counts + 1, max_length
+    )
     norm = scores / (lengths.astype(jnp.float32) ** length_penalty)
     best = jnp.argmax(norm, axis=-1)  # (B,)
     return jnp.take_along_axis(

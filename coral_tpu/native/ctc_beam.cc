@@ -242,17 +242,27 @@ char* DecodeImpl(const float* log_probs, int T, int V, const char** vocab,
     }
 
     // Rank by fused score (acoustic + completed-word LM + partial penalty),
-    // drop everything below best - beam_prune_logp, keep beam_width.
-    auto fused = [&](const Beam& b) {
-      return b.logit_score + b.lm_score + PartialWordPenalty(b.word_part, opt);
-    };
-    std::sort(next.begin(), next.end(),
-              [&](const Beam& a, const Beam& b) { return fused(a) > fused(b); });
-    if (!next.empty()) {
-      double cutoff = fused(next.front()) + opt.beam_prune_logp;
-      size_t keep = next.size();
-      while (keep > 1 && fused(next[keep - 1]) < cutoff) --keep;
-      next.resize(std::min(keep, static_cast<size_t>(opt.beam_width)));
+    // drop everything below best - beam_prune_logp, keep beam_width. Scores
+    // are computed once per beam (the partial penalty does trie lookups) and
+    // the sort permutes indices.
+    std::vector<std::pair<double, size_t>> ranked(next.size());
+    for (size_t i = 0; i < next.size(); ++i) {
+      ranked[i] = {next[i].logit_score + next[i].lm_score +
+                       PartialWordPenalty(next[i].word_part, opt),
+                   i};
+    }
+    std::sort(ranked.begin(), ranked.end(),
+              [](const auto& a, const auto& b) { return a.first > b.first; });
+    if (!ranked.empty()) {
+      double cutoff = ranked.front().first + opt.beam_prune_logp;
+      size_t keep = ranked.size();
+      while (keep > 1 && ranked[keep - 1].first < cutoff) --keep;
+      keep = std::min(keep, static_cast<size_t>(opt.beam_width));
+      std::vector<Beam> pruned;
+      pruned.reserve(keep);
+      for (size_t i = 0; i < keep; ++i)
+        pruned.push_back(std::move(next[ranked[i].second]));
+      next.swap(pruned);
     }
     beams.swap(next);
   }

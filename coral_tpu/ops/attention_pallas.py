@@ -290,7 +290,11 @@ def short_t_attention(
         sm_scale = float(d) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    bias = jnp.where(pad_mask, 0.0, -jnp.inf).astype(jnp.float32)[:, None, :]
+    # Large-negative finite bias (like the XLA path in models/wav2vec2.py):
+    # a fully-masked row (e.g. an eval dummy with input_length=1) then yields
+    # a uniform distribution instead of exp(-inf + inf) = NaN poisoning the
+    # summed loss.
+    bias = jnp.where(pad_mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
     flat = lambda x: x.reshape(B, T, H * d)  # noqa: E731
     o = _attention(flat(q), flat(k), flat(v), bias, sm_scale, d, interpret)
     return o.reshape(B, T, H, d)

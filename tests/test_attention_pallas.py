@@ -111,3 +111,21 @@ def test_sharded_batch_no_allgather():
     out = fn(q, k, v, pad)
     ref = _xla_reference(q, k, v, pad)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_fully_masked_row_stays_finite():
+    """A row whose pad_mask is all-False (eval dummy with input_length=1)
+    must produce finite output, matching the XLA path's -1e30 bias."""
+    B, T, H, d = 2, 16, 2, 8
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+        for _ in range(3)
+    )
+    pad = jnp.asarray([[True] * T, [False] * T])
+    out = short_t_attention(q, k, v, pad)
+    assert np.all(np.isfinite(np.asarray(out)))
+    g = jax.grad(
+        lambda q: jnp.sum(short_t_attention(q, k, v, pad))
+    )(q)
+    assert np.all(np.isfinite(np.asarray(g)))
