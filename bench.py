@@ -53,7 +53,8 @@ def main() -> None:
     # Winning v5e configuration (tools/bench_config.py sweep, round 2):
     # pallas short-T attention (lane-sliced heads, no layout copies) +
     # save-matmul-inputs remat + rematted feature encoder + fused dropout +
-    # bf16 first Adam moment + fused GELU+dropout: 537 -> 745 audio-s/s/chip at B=32.
+    # bf16 first Adam moment + fused GELU+dropout + fused feature-encoder
+    # LayerNorm+GELU: 537 -> 764 audio-s/s/chip at B=32.
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas"
     )

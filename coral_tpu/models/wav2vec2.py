@@ -139,6 +139,23 @@ def _conv1d(x, kernel, bias, stride: int = 1, padding=0, groups: int = 1,
 # slow conv-dW reduce fusions save. Keep the native conv lowering.
 
 
+class _LayerNormParams(nn.Module):
+    """Bare LayerNorm parameters on the same tree path as ``nn.LayerNorm``
+    (the normalisation itself runs in the fused Pallas kernel)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class ConvLayer(nn.Module):
     """One feature-encoder conv block: conv -> (layer norm) -> gelu."""
 
@@ -168,7 +185,14 @@ class ConvLayer(nn.Module):
             "conv_raw",
         )
         if self.use_layer_norm:
-            x = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm")(x)
+            # Fused Pallas LayerNorm+GELU (one pass per direction; fp32 stats
+            # in VMEM) — XLA's split lowering round-trips fp32 stat tensors
+            # through HBM on these (B, ~32000, 512) blocks. Parameters keep
+            # the nn.LayerNorm tree path for checkpoint-converter parity.
+            from ..ops.ln_gelu_pallas import ln_gelu
+
+            gamma, beta = _LayerNormParams(self.out_dim, name="layer_norm")()
+            return ln_gelu(x, gamma, beta).astype(self.dtype)
         elif self.use_group_norm:
             x = nn.GroupNorm(
                 num_groups=self.out_dim, epsilon=self.eps, dtype=self.dtype,
