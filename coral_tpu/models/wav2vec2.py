@@ -379,6 +379,11 @@ class EncoderLayer(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
         )
         if cfg.do_stable_layer_norm:
+            # Note: routing these pre-LNs through the fused Pallas LayerNorm
+            # measured slightly SLOWER (760 vs 764 audio-s/s) — XLA fuses the
+            # encoder LN backward with the residual adds, which a separate
+            # kernel forfeits. The fused LN only wins where XLA's lowering is
+            # multi-pass (the feature encoder's LN+GELU blocks).
             x = x + Attention(cfg, name="attention")(
                 checkpoint_name(ln("layer_norm")(x), "attn_in"),
                 pad_mask, deterministic,

@@ -46,16 +46,17 @@ def _norm(x):
     return centered * rstd, rstd
 
 
-def _fwd_kernel(x_ref, g_ref, b_ref, y_ref):
+def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, apply_gelu: bool):
     x = x_ref[0].astype(jnp.float32)
     n, _ = _norm(x)
     z = n * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
-    gelu, _ = _gelu_parts(z)
-    y_ref[0] = gelu.astype(y_ref.dtype)
+    if apply_gelu:
+        z, _ = _gelu_parts(z)
+    y_ref[0] = z.astype(y_ref.dtype)
 
 
 def _bwd_kernel(x_ref, g_ref, b_ref, dy_ref, dx_ref, dg_ref, db_ref, acc,
-                *, n_rows: int):
+                *, n_rows: int, apply_gelu: bool):
     t = pl.program_id(1)
     t_last = pl.num_programs(1) - 1
 
@@ -66,10 +67,11 @@ def _bwd_kernel(x_ref, g_ref, b_ref, dy_ref, dx_ref, dg_ref, db_ref, acc,
     x = x_ref[0].astype(jnp.float32)
     n, rstd = _norm(x)
     gamma = g_ref[...].astype(jnp.float32)
-    z = n * gamma + b_ref[...].astype(jnp.float32)
-    _, phi_cdf = _gelu_parts(z)
-    dgelu = phi_cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI)
-    g = dy_ref[0].astype(jnp.float32) * dgelu
+    g = dy_ref[0].astype(jnp.float32)
+    if apply_gelu:
+        z = n * gamma + b_ref[...].astype(jnp.float32)
+        _, phi_cdf = _gelu_parts(z)
+        g = g * (phi_cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI))
 
     dn = g * gamma
     dx = (
@@ -95,12 +97,12 @@ def _bwd_kernel(x_ref, g_ref, b_ref, dy_ref, dx_ref, dg_ref, db_ref, acc,
         db_ref[0, 0, :] = acc[1, :]
 
 
-def _fwd_pallas(x, gamma, beta, interpret):
+def _fwd_pallas(x, gamma, beta, interpret, apply_gelu=True):
     B, T, C = x.shape
     blk = pl.BlockSpec((1, _TILE, C), lambda b, t: (b, t, 0))
     vec = pl.BlockSpec((C,), lambda b, t: (0,))
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, apply_gelu=apply_gelu),
         grid=(B, pl.cdiv(T, _TILE)),
         in_specs=[blk, vec, vec],
         out_specs=blk,
@@ -109,14 +111,14 @@ def _fwd_pallas(x, gamma, beta, interpret):
     )(x, gamma, beta)
 
 
-def _bwd_pallas(x, gamma, beta, dy, interpret):
+def _bwd_pallas(x, gamma, beta, dy, interpret, apply_gelu=True):
     """Returns (dx, dg_rows (B,1,C) fp32, db_rows (B,1,C) fp32)."""
     B, T, C = x.shape
     blk = pl.BlockSpec((1, _TILE, C), lambda b, t: (b, t, 0))
     vec = pl.BlockSpec((C,), lambda b, t: (0,))
     row_out = pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_rows=T),
+        functools.partial(_bwd_kernel, n_rows=T, apply_gelu=apply_gelu),
         grid=(B, pl.cdiv(T, _TILE)),
         in_specs=[blk, vec, vec, blk],
         out_specs=[blk, row_out, row_out],
@@ -138,8 +140,10 @@ def _row_only(sharding, mesh, ndim):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cp(interpret):
-    f = custom_partitioning(lambda x, g, b: _fwd_pallas(x, g, b, interpret))
+def _fwd_cp(interpret, apply_gelu=True):
+    f = custom_partitioning(
+        lambda x, g, b: _fwd_pallas(x, g, b, interpret, apply_gelu)
+    )
 
     def infer(mesh, arg_infos, result_infos):
         return _row_only(arg_infos[0].sharding, mesh, 3)
@@ -147,7 +151,9 @@ def _fwd_cp(interpret):
     def partition(mesh, arg_infos, result_infos):
         out_sh = _row_only(arg_infos[0].sharding, mesh, 3)
         rep = NamedSharding(mesh, P(None))
-        lower = lambda x, g, b: _fwd_pallas(x, g, b, interpret)  # noqa: E731
+        lower = lambda x, g, b: _fwd_pallas(  # noqa: E731
+            x, g, b, interpret, apply_gelu
+        )
         return mesh, lower, out_sh, (out_sh, rep, rep)
 
     f.def_partition(
@@ -159,9 +165,9 @@ def _fwd_cp(interpret):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cp(interpret):
+def _bwd_cp(interpret, apply_gelu=True):
     f = custom_partitioning(
-        lambda x, g, b, dy: _bwd_pallas(x, g, b, dy, interpret)
+        lambda x, g, b, dy: _bwd_pallas(x, g, b, dy, interpret, apply_gelu)
     )
 
     def infer(mesh, arg_infos, result_infos):
@@ -172,7 +178,7 @@ def _bwd_cp(interpret):
         sh = _row_only(arg_infos[0].sharding, mesh, 3)
         rep = NamedSharding(mesh, P(None))
         lower = lambda x, g, b, dy: _bwd_pallas(  # noqa: E731
-            x, g, b, dy, interpret
+            x, g, b, dy, interpret, apply_gelu
         )
         return mesh, lower, (sh, sh, sh), (sh, rep, rep, sh)
 
@@ -184,18 +190,18 @@ def _bwd_cp(interpret):
     return f
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _ln_gelu(x, gamma, beta, interpret):
-    return _fwd_cp(interpret)(x, gamma, beta)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _ln_gelu(x, gamma, beta, interpret, apply_gelu):
+    return _fwd_cp(interpret, apply_gelu)(x, gamma, beta)
 
 
-def _ln_gelu_fwd(x, gamma, beta, interpret):
-    return _ln_gelu(x, gamma, beta, interpret), (x, gamma, beta)
+def _ln_gelu_fwd(x, gamma, beta, interpret, apply_gelu):
+    return _ln_gelu(x, gamma, beta, interpret, apply_gelu), (x, gamma, beta)
 
 
-def _ln_gelu_bwd(interpret, res, dy):
+def _ln_gelu_bwd(interpret, apply_gelu, res, dy):
     x, gamma, beta = res
-    dx, dg_rows, db_rows = _bwd_cp(interpret)(x, gamma, beta, dy)
+    dx, dg_rows, db_rows = _bwd_cp(interpret, apply_gelu)(x, gamma, beta, dy)
     # Batch reduction as plain XLA: under a sharded batch GSPMD inserts the
     # cross-shard psum here.
     dg = jnp.sum(dg_rows[:, 0, :], axis=0).astype(gamma.dtype)
@@ -230,4 +236,23 @@ def ln_gelu(
         n = c * jax.lax.rsqrt(var + _EPS)
         z = n * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
         return jax.nn.gelu(z, approximate=False).astype(x.dtype)
-    return _ln_gelu(x, gamma, beta, interpret)
+    return _ln_gelu(x, gamma, beta, interpret, True)
+
+
+def ln_fused(
+    x: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Plain fused LayerNorm (no activation): one pass per direction."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if interpret:
+        mu = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
+        c = x.astype(jnp.float32) - mu
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        n = c * jax.lax.rsqrt(var + _EPS)
+        z = n * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+        return z.astype(x.dtype)
+    return _ln_gelu(x, gamma, beta, interpret, False)
