@@ -48,6 +48,7 @@ def _flash(q, k, v):
         )
         q, k, v = padded(q), padded(k), padded(v)
     ids = jnp.pad(jnp.ones((B, T), jnp.int32), ((0, 0), (0, pad)))
+    # 768 blocks measured best across the board at T=1536 (512-dkv: -3%).
     sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
