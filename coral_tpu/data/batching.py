@@ -47,7 +47,7 @@ class BucketBatcher:
         max_label_length: int = 512,
         label_pad_id: int = -100,
         drop_last: bool = True,
-        audio_transfer_dtype: str = "int16",
+        audio_transfer_dtype: str = "float32",
     ) -> None:
         self.batch_size = batch_size
         self.accum_steps = accum_steps
@@ -57,8 +57,9 @@ class BucketBatcher:
         self.drop_last = drop_last
         # "int16" ships audio as PCM16 and converts to float on device: half
         # the host->device infeed bytes, lossless for 16-bit-sourced audio
-        # (the corpora are 16-bit PCM), and the on-device z-norm/peak-norm is
-        # scale-invariant anyway. "float32" opts out.
+        # (the training corpora are 16-bit PCM — the finetune loop selects it
+        # via config), but it quantises float-origin audio (~-96 dB noise),
+        # so the constructor default is the lossless "float32".
         assert audio_transfer_dtype in ("int16", "float32")
         self.audio_transfer_dtype = audio_transfer_dtype
         max_len = int(max_seconds * sample_rate)

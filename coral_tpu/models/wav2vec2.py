@@ -192,7 +192,7 @@ class ConvLayer(nn.Module):
             from ..ops.ln_gelu_pallas import ln_gelu
 
             gamma, beta = _LayerNormParams(self.out_dim, name="layer_norm")()
-            return ln_gelu(x, gamma, beta).astype(self.dtype)
+            return ln_gelu(x, gamma, beta, eps=self.eps).astype(self.dtype)
         elif self.use_group_norm:
             x = nn.GroupNorm(
                 num_groups=self.out_dim, epsilon=self.eps, dtype=self.dtype,

@@ -106,14 +106,27 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
         dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
 
 
-def _head_groups(HD: int, head_dim: int, n_blocks: int) -> int:
+_VMEM_BUDGET = 10 * 1024 * 1024  # scoped VMEM is 16 MB; leave headroom
+
+
+def _head_groups(
+    HD: int, head_dim: int, n_blocks: int, T: int, itemsize: int
+) -> int:
     """Split the flattened head axis into head-aligned lane groups so that
-    ``n_blocks`` double-buffered (T, HD/groups) slabs stay inside scoped VMEM
-    (~512 lanes per group keeps the backward's 8 blocks under ~10 MB)."""
-    groups = max(1, HD // 512)
-    while HD % groups or (HD // groups) % head_dim:
-        groups -= 1
-    return groups
+    ``n_blocks`` double-buffered (T, HD/groups) slabs stay inside scoped
+    VMEM. Starts from the measured-good ~512-lane heuristic and grows the
+    group count until the budget holds, so longer sequences or wider heads
+    can't silently overflow."""
+    candidates = [
+        g for g in range(1, HD // head_dim + 1)
+        if HD % g == 0 and (HD // g) % head_dim == 0
+    ]
+    start = max(1, HD // 512)
+    for g in candidates:
+        fits = 2 * n_blocks * T * (HD // g) * itemsize <= _VMEM_BUDGET
+        if g >= start and fits:
+            return g
+    return candidates[-1]
 
 
 def _specs(T, HD, groups):
@@ -126,7 +139,9 @@ def _specs(T, HD, groups):
 
 def _fwd_pallas(q, k, v, bias, sm_scale, head_dim, interpret):
     B, T, HD = q.shape
-    groups = _head_groups(HD, head_dim, n_blocks=5)
+    groups = _head_groups(
+        HD, head_dim, n_blocks=5, T=T, itemsize=q.dtype.itemsize
+    )
     qkv_spec, bias_spec = _specs(T, HD, groups)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, sm_scale=sm_scale, head_dim=head_dim),
@@ -140,7 +155,9 @@ def _fwd_pallas(q, k, v, bias, sm_scale, head_dim, interpret):
 
 def _bwd_pallas(q, k, v, bias, do, sm_scale, head_dim, interpret):
     B, T, HD = q.shape
-    groups = _head_groups(HD, head_dim, n_blocks=8)
+    groups = _head_groups(
+        HD, head_dim, n_blocks=8, T=T, itemsize=q.dtype.itemsize
+    )
     qkv_spec, bias_spec = _specs(T, HD, groups)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, sm_scale=sm_scale, head_dim=head_dim),

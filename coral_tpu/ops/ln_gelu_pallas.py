@@ -35,20 +35,20 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .gelu_dropout_pallas import _gelu_parts, _INV_SQRT_2PI
 
 _TILE = 512  # rows per grid step
-_EPS = 1e-5
+_EPS = 1e-5  # default; call sites thread the model's layer_norm_eps through
 
 
-def _norm(x):
+def _norm(x, eps):
     mu = jnp.mean(x, axis=-1, keepdims=True)
     centered = x - mu
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + _EPS)
+    rstd = jax.lax.rsqrt(var + eps)
     return centered * rstd, rstd
 
 
-def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, apply_gelu: bool):
+def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, apply_gelu: bool, eps: float):
     x = x_ref[0].astype(jnp.float32)
-    n, _ = _norm(x)
+    n, _ = _norm(x, eps)
     z = n * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
     if apply_gelu:
         z, _ = _gelu_parts(z)
@@ -56,7 +56,7 @@ def _fwd_kernel(x_ref, g_ref, b_ref, y_ref, *, apply_gelu: bool):
 
 
 def _bwd_kernel(x_ref, g_ref, b_ref, dy_ref, dx_ref, dg_ref, db_ref, acc,
-                *, n_rows: int, apply_gelu: bool):
+                *, n_rows: int, apply_gelu: bool, eps: float):
     t = pl.program_id(1)
     t_last = pl.num_programs(1) - 1
 
@@ -65,7 +65,7 @@ def _bwd_kernel(x_ref, g_ref, b_ref, dy_ref, dx_ref, dg_ref, db_ref, acc,
         acc[...] = jnp.zeros_like(acc)
 
     x = x_ref[0].astype(jnp.float32)
-    n, rstd = _norm(x)
+    n, rstd = _norm(x, eps)
     gamma = g_ref[...].astype(jnp.float32)
     g = dy_ref[0].astype(jnp.float32)
     if apply_gelu:
@@ -97,12 +97,12 @@ def _bwd_kernel(x_ref, g_ref, b_ref, dy_ref, dx_ref, dg_ref, db_ref, acc,
         db_ref[0, 0, :] = acc[1, :]
 
 
-def _fwd_pallas(x, gamma, beta, interpret, apply_gelu=True):
+def _fwd_pallas(x, gamma, beta, interpret, apply_gelu=True, eps=_EPS):
     B, T, C = x.shape
     blk = pl.BlockSpec((1, _TILE, C), lambda b, t: (b, t, 0))
     vec = pl.BlockSpec((C,), lambda b, t: (0,))
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, apply_gelu=apply_gelu),
+        functools.partial(_fwd_kernel, apply_gelu=apply_gelu, eps=eps),
         grid=(B, pl.cdiv(T, _TILE)),
         in_specs=[blk, vec, vec],
         out_specs=blk,
@@ -111,14 +111,15 @@ def _fwd_pallas(x, gamma, beta, interpret, apply_gelu=True):
     )(x, gamma, beta)
 
 
-def _bwd_pallas(x, gamma, beta, dy, interpret, apply_gelu=True):
+def _bwd_pallas(x, gamma, beta, dy, interpret, apply_gelu=True, eps=_EPS):
     """Returns (dx, dg_rows (B,1,C) fp32, db_rows (B,1,C) fp32)."""
     B, T, C = x.shape
     blk = pl.BlockSpec((1, _TILE, C), lambda b, t: (b, t, 0))
     vec = pl.BlockSpec((C,), lambda b, t: (0,))
     row_out = pl.BlockSpec((1, 1, C), lambda b, t: (b, 0, 0))
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, n_rows=T, apply_gelu=apply_gelu),
+        functools.partial(_bwd_kernel, n_rows=T, apply_gelu=apply_gelu,
+                          eps=eps),
         grid=(B, pl.cdiv(T, _TILE)),
         in_specs=[blk, vec, vec, blk],
         out_specs=[blk, row_out, row_out],
@@ -140,9 +141,9 @@ def _row_only(sharding, mesh, ndim):
 
 
 @functools.lru_cache(maxsize=None)
-def _fwd_cp(interpret, apply_gelu=True):
+def _fwd_cp(interpret, apply_gelu=True, eps=_EPS):
     f = custom_partitioning(
-        lambda x, g, b: _fwd_pallas(x, g, b, interpret, apply_gelu)
+        lambda x, g, b: _fwd_pallas(x, g, b, interpret, apply_gelu, eps)
     )
 
     def infer(mesh, arg_infos, result_infos):
@@ -152,7 +153,7 @@ def _fwd_cp(interpret, apply_gelu=True):
         out_sh = _row_only(arg_infos[0].sharding, mesh, 3)
         rep = NamedSharding(mesh, P(None))
         lower = lambda x, g, b: _fwd_pallas(  # noqa: E731
-            x, g, b, interpret, apply_gelu
+            x, g, b, interpret, apply_gelu, eps
         )
         return mesh, lower, out_sh, (out_sh, rep, rep)
 
@@ -165,9 +166,11 @@ def _fwd_cp(interpret, apply_gelu=True):
 
 
 @functools.lru_cache(maxsize=None)
-def _bwd_cp(interpret, apply_gelu=True):
+def _bwd_cp(interpret, apply_gelu=True, eps=_EPS):
     f = custom_partitioning(
-        lambda x, g, b, dy: _bwd_pallas(x, g, b, dy, interpret, apply_gelu)
+        lambda x, g, b, dy: _bwd_pallas(
+            x, g, b, dy, interpret, apply_gelu, eps
+        )
     )
 
     def infer(mesh, arg_infos, result_infos):
@@ -178,7 +181,7 @@ def _bwd_cp(interpret, apply_gelu=True):
         sh = _row_only(arg_infos[0].sharding, mesh, 3)
         rep = NamedSharding(mesh, P(None))
         lower = lambda x, g, b, dy: _bwd_pallas(  # noqa: E731
-            x, g, b, dy, interpret, apply_gelu
+            x, g, b, dy, interpret, apply_gelu, eps
         )
         return mesh, lower, (sh, sh, sh), (sh, rep, rep, sh)
 
@@ -190,18 +193,23 @@ def _bwd_cp(interpret, apply_gelu=True):
     return f
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _ln_gelu(x, gamma, beta, interpret, apply_gelu):
-    return _fwd_cp(interpret, apply_gelu)(x, gamma, beta)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _ln_gelu(x, gamma, beta, interpret, apply_gelu, eps):
+    return _fwd_cp(interpret, apply_gelu, eps)(x, gamma, beta)
 
 
-def _ln_gelu_fwd(x, gamma, beta, interpret, apply_gelu):
-    return _ln_gelu(x, gamma, beta, interpret, apply_gelu), (x, gamma, beta)
+def _ln_gelu_fwd(x, gamma, beta, interpret, apply_gelu, eps):
+    return (
+        _ln_gelu(x, gamma, beta, interpret, apply_gelu, eps),
+        (x, gamma, beta),
+    )
 
 
-def _ln_gelu_bwd(interpret, apply_gelu, res, dy):
+def _ln_gelu_bwd(interpret, apply_gelu, eps, res, dy):
     x, gamma, beta = res
-    dx, dg_rows, db_rows = _bwd_cp(interpret, apply_gelu)(x, gamma, beta, dy)
+    dx, dg_rows, db_rows = _bwd_cp(interpret, apply_gelu, eps)(
+        x, gamma, beta, dy
+    )
     # Batch reduction as plain XLA: under a sharded batch GSPMD inserts the
     # cross-shard psum here.
     dg = jnp.sum(dg_rows[:, 0, :], axis=0).astype(gamma.dtype)
@@ -217,12 +225,14 @@ def ln_gelu(
     gamma: jnp.ndarray,
     beta: jnp.ndarray,
     interpret: bool | None = None,
+    eps: float = _EPS,
 ) -> jnp.ndarray:
     """``gelu(layer_norm(x) * gamma + beta)`` in one fused pass per direction.
 
     Args:
         x: (B, T, C) values; stats are computed over C in fp32.
         gamma, beta: (C,) affine parameters.
+        eps: LayerNorm epsilon (the model's ``layer_norm_eps``).
 
     Returns:
         Same shape/dtype as ``x``.
@@ -233,10 +243,10 @@ def ln_gelu(
         mu = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
         c = x.astype(jnp.float32) - mu
         var = jnp.mean(c * c, axis=-1, keepdims=True)
-        n = c * jax.lax.rsqrt(var + _EPS)
+        n = c * jax.lax.rsqrt(var + eps)
         z = n * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
         return jax.nn.gelu(z, approximate=False).astype(x.dtype)
-    return _ln_gelu(x, gamma, beta, interpret, True)
+    return _ln_gelu(x, gamma, beta, interpret, True, eps)
 
 
 def ln_fused(
@@ -244,6 +254,7 @@ def ln_fused(
     gamma: jnp.ndarray,
     beta: jnp.ndarray,
     interpret: bool | None = None,
+    eps: float = _EPS,
 ) -> jnp.ndarray:
     """Plain fused LayerNorm (no activation): one pass per direction."""
     if interpret is None:
@@ -252,7 +263,7 @@ def ln_fused(
         mu = jnp.mean(x.astype(jnp.float32), axis=-1, keepdims=True)
         c = x.astype(jnp.float32) - mu
         var = jnp.mean(c * c, axis=-1, keepdims=True)
-        n = c * jax.lax.rsqrt(var + _EPS)
+        n = c * jax.lax.rsqrt(var + eps)
         z = n * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
         return z.astype(x.dtype)
-    return _ln_gelu(x, gamma, beta, interpret, False)
+    return _ln_gelu(x, gamma, beta, interpret, False, eps)

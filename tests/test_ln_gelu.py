@@ -48,6 +48,22 @@ def test_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_eps_is_honoured():
+    # A deliberately huge eps changes the output; the kernel must thread the
+    # caller's layer_norm_eps instead of a hardcoded 1e-5 (ADVICE round 2).
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 16, 32)), jnp.float32)
+    gamma = jnp.ones(32, jnp.float32)
+    beta = jnp.zeros(32, jnp.float32)
+    big = np.asarray(ln_gelu(x, gamma, beta, eps=10.0))
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    c = x - mu
+    var = jnp.mean(c * c, axis=-1, keepdims=True)
+    want = jax.nn.gelu(c * jax.lax.rsqrt(var + 10.0), approximate=False)
+    np.testing.assert_allclose(big, np.asarray(want), atol=1e-6)
+    assert not np.allclose(big, np.asarray(ln_gelu(x, gamma, beta)))
+
+
 def test_feature_encoder_uses_fused_op():
     import coral_tpu.models.wav2vec2 as w2v
 
