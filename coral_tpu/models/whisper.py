@@ -772,15 +772,22 @@ def apply_timestamp_rules(
     logits = jnp.where(force_pair[:, None] & is_text[None, :], neg, logits)
 
     # Timestamps never decrease. While completing a pair an equal timestamp is
-    # allowed; otherwise the next one must be strictly larger.
+    # allowed; otherwise the next one must be strictly larger. HF cuts at the
+    # LAST emitted timestamp (not the max — they only coincide for
+    # grammar-valid prefixes), so match that exactly.
     posmask = (jnp.arange(L) >= n_forced) & (jnp.arange(L) <= pos)
-    ts_seen = jnp.where(posmask[None, :] & (buffer >= timestamp_begin),
-                        buffer, -1)
-    max_ts = jnp.max(ts_seen, axis=1)  # (N,), -1 when none yet
-    cutoff = jnp.where(force_pair, max_ts, max_ts + 1)
+    ts_at = posmask[None, :] & (buffer >= timestamp_begin)
+    last_p = jnp.max(
+        jnp.where(ts_at, jnp.arange(L)[None, :], -1), axis=1
+    )  # (N,), -1 when none yet
+    has_ts = last_p >= 0
+    last_ts = jnp.take_along_axis(
+        buffer, jnp.maximum(last_p, 0)[:, None], axis=1
+    )[:, 0]
+    cutoff = jnp.where(force_pair, last_ts, last_ts + 1)
     below = vocab[None, :] < cutoff[:, None]
     logits = jnp.where(
-        (max_ts >= 0)[:, None] & is_ts[None, :] & below, neg, logits
+        has_ts[:, None] & is_ts[None, :] & below, neg, logits
     )
 
     # The transcript opens with a timestamp, clamped to max_initial_index.
