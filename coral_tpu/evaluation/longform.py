@@ -50,31 +50,40 @@ def merge_token_sequences(
 ) -> list[int]:
     """Merge overlapping token sequences (HF's longest-common-sequence merge).
 
-    For each consecutive pair, every split of the potential overlap is scored by
-    match density; the best split point decides where the left sequence hands
-    over to the right one.
+    Semantics match ``transformers``' whisper tokenizer
+    ``_find_longest_common_sequence`` exactly (the merge the reference hits
+    through the ASR pipeline's ``_decode_asr``): each new window slides across
+    the *remainder* of the previous one over every alignment (including
+    windows shorter or longer than the remainder), alignments are scored by
+    match density plus an ``i / 10000`` bonus that favours long perfect
+    matches, and the winning overlap is split down the middle — the left
+    window keeps the first half, the right window supplies the rest.
+    Pinned against the real library in ``tests/test_longform.py``.
     """
     if not sequences:
         return []
-    merged = list(sequences[0])
-    for nxt in sequences[1:]:
-        nxt = list(nxt)
-        best_score = 0.0
-        best_left = len(merged)
-        best_right = 0
-        max_k = min(len(merged), len(nxt))
-        for k in range(1, max_k + 1):
-            left = merged[-k:]
-            right = nxt[:k]
-            matches = sum(a == b for a, b in zip(left, right))
-            # eps * k prefers longer overlaps at equal density (HF heuristic).
-            score = matches / k + k * 1e-4
-            if matches > 1 and score > best_score:
-                best_score = score
-                best_left = len(merged) - k + (k + 1) // 2
-                best_right = (k + 1) // 2
-        merged = merged[:best_left] + nxt[best_right:]
-    return merged
+    left = list(sequences[0])
+    total: list[int] = []
+    for right in sequences[1:]:
+        right = list(right)
+        nl, nr = len(left), len(right)
+        best = 0.0
+        cut = (nl, nl, 0, 0)
+        for i in range(1, nl + nr):
+            ls, lstop = max(0, nl - i), min(nl, nl + nr - i)
+            rs, rstop = max(0, i - nl), min(nr, i)
+            matches = sum(
+                a == b for a, b in zip(left[ls:lstop], right[rs:rstop])
+            )
+            score = matches / i + i / 10000.0
+            if matches > 1 and score > best:
+                best = score
+                cut = (ls, lstop, rs, rstop)
+        ls, lstop, rs, rstop = cut
+        total.extend(left[: (ls + lstop) // 2])
+        left = right[(rs + rstop) // 2:]
+    total.extend(left)
+    return total
 
 
 def transcribe_longform(

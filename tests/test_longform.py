@@ -52,6 +52,36 @@ def test_merge_noisy_overlap():
     assert merged[-2:] == [7, 8]
 
 
+def test_merge_matches_hf_tokenizer_merge_randomised():
+    """Pin merge_token_sequences to the real transformers implementation
+    (``tokenization_whisper._find_longest_common_sequence``, the merge the
+    reference reaches via the ASR pipeline's ``_decode_asr``) on randomised
+    overlapping streams, including noisy overlaps and ragged window sizes."""
+    from transformers.models.whisper.tokenization_whisper import (
+        _find_longest_common_sequence,
+    )
+
+    rng = np.random.default_rng(42)
+    for trial in range(60):
+        true = rng.integers(0, 50, size=rng.integers(8, 60)).tolist()
+        n_windows = int(rng.integers(2, 5))
+        windows = []
+        step = max(1, len(true) // n_windows)
+        for w in range(n_windows):
+            lo = max(0, w * step - int(rng.integers(0, 4)))
+            hi = min(len(true), (w + 1) * step + int(rng.integers(0, 6)))
+            win = true[lo:hi] or [int(rng.integers(0, 50))]
+            # sprinkle recognition noise into some overlaps
+            win = [
+                int(rng.integers(0, 50)) if rng.random() < 0.1 else t
+                for t in win
+            ]
+            windows.append(win)
+        want = list(_find_longest_common_sequence(windows))
+        got = merge_token_sequences(windows)
+        assert got == want, (trial, windows, got, want)
+
+
 def test_longform_timestamps_offsets_and_trims():
     """Windows' segments are trimmed to their exclusive region and shifted to
     absolute time (the HF return_timestamps stride merge)."""
