@@ -856,6 +856,108 @@ def segments_from_tokens(
 # --------------------------------------------------------------------------------
 
 
+def _ancestor_decode_step(
+    params: dict,
+    config: WhisperConfig,
+    tokens: jnp.ndarray,
+    pos: jnp.ndarray,
+    self_cache: tuple[jnp.ndarray, jnp.ndarray],
+    cross_kv: tuple[jnp.ndarray, jnp.ndarray],
+    ancestors: jnp.ndarray,
+) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
+    """One decode position for B*K beam rows with index-chain cache sharing.
+
+    Instead of physically reordering the KV cache when beams reorder (a full
+    (L, B*K, max_len, H, Dh) gather per emitted token — O(max_len^2) HBM
+    traffic over a decode), each beam carries an ancestor table
+    ``ancestors[b, k, t]`` naming the beam slot whose cache row holds its
+    key/value for position ``t``. Attention scores against ALL K slots (a
+    K-fold wider, still tiny, MXU contraction) and a one-hot selection keeps
+    each beam's own history — the cache is written once and never moved.
+
+    Args:
+        tokens: (B*K,) current input token ids.
+        ancestors: (B, K, max_len) int32 slot indices; invariant:
+            ``ancestors[b, k, pos] == k`` on entry (each slot writes its own
+            KV row at ``pos``).
+
+    Returns:
+        ((B*K, vocab) logits, updated cache).
+    """
+    p = params["decoder"]
+    dtype = config.dtype
+    n_heads = config.decoder_attention_heads
+    head_dim = config.head_dim
+    cache_k, cache_v = self_cache
+    max_len = cache_k.shape[2]
+    B, K = ancestors.shape[0], ancestors.shape[1]
+
+    x = jnp.take(jnp.asarray(p["embed_tokens"]), tokens, axis=0).astype(dtype)
+    x = x[:, None, :]  # (B*K, 1, D)
+    x = x + jax.lax.dynamic_slice_in_dim(
+        jnp.asarray(p["embed_positions"]), pos, 1, axis=0
+    ).astype(dtype)
+
+    # One-hot over source slots, shared by every layer: (B, K, T, K_src).
+    onehot = (
+        ancestors[:, :, :, None] == jnp.arange(K)[None, None, None, :]
+    ).astype(jnp.float32)
+    keep = (jnp.arange(max_len) <= pos)[None, None, None, :]  # (1,1,1,T)
+    scale = head_dim ** -0.5
+
+    def layer(x, inputs):
+        lp, layer_ck, layer_cv, cross_k, cross_v = inputs
+        h = _layer_norm(lp["self_attn_layer_norm"], x)
+        q = _split_heads(_dense(lp["self_attn"]["q_proj"], h, dtype), n_heads)
+        k_new = _split_heads(
+            _dense(lp["self_attn"]["k_proj"], h, dtype), n_heads
+        )
+        v_new = _split_heads(
+            _dense(lp["self_attn"]["v_proj"], h, dtype), n_heads
+        )
+        layer_ck = jax.lax.dynamic_update_slice_in_dim(
+            layer_ck, k_new, pos, axis=1
+        )
+        layer_cv = jax.lax.dynamic_update_slice_in_dim(
+            layer_cv, v_new, pos, axis=1
+        )
+
+        qb = q.reshape(B, K, n_heads, head_dim)
+        kb = layer_ck.reshape(B, K, max_len, n_heads, head_dim)
+        vb = layer_cv.reshape(B, K, max_len, n_heads, head_dim)
+        s = jnp.einsum(
+            "bqhd,bjthd->bqhtj", qb, kb, preferred_element_type=jnp.float32
+        )
+        s = jnp.sum(s * onehot[:, :, None, :, :], axis=-1) * scale  # (B,K,H,T)
+        s = jnp.where(keep, s, -jnp.inf)
+        w = jax.nn.softmax(s, axis=-1)
+        wsel = w[:, :, :, :, None] * onehot[:, :, None, :, :]  # (B,K,H,T,J)
+        attn = jnp.einsum(
+            "bqhtj,bjthd->bqhd", wsel, vb, preferred_element_type=jnp.float32
+        ).astype(dtype).reshape(B * K, 1, n_heads, head_dim)
+        x = x + _dense(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
+
+        h = _layer_norm(lp["encoder_attn_layer_norm"], x)
+        q = _split_heads(_dense(lp["encoder_attn"]["q_proj"], h, dtype),
+                         n_heads)
+        a = jax.nn.dot_product_attention(q, cross_k, cross_v)
+        x = x + _dense(lp["encoder_attn"]["out_proj"], _merge_heads(a), dtype)
+
+        h = _layer_norm(lp["final_layer_norm"], x)
+        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype), approximate=False)
+        x = x + _dense(lp["fc2"], h, dtype)
+        return x, (layer_ck, layer_cv)
+
+    x, (new_k, new_v) = jax.lax.scan(
+        layer, x, (p["layers"], cache_k, cache_v, cross_kv[0], cross_kv[1])
+    )
+    x = _layer_norm(p["layer_norm"], x)
+    logits = x[:, 0, :].astype(jnp.float32) @ p["embed_tokens"].T.astype(
+        jnp.float32
+    )
+    return logits, (new_k, new_v)
+
+
 def beam_generate(
     params: dict,
     config: WhisperConfig,
@@ -865,134 +967,193 @@ def beam_generate(
     eos_id: int,
     num_beams: int = 5,
     length_penalty: float = 1.0,
+    early_stopping: bool | str = False,
     timestamps: bool = False,
     timestamp_begin: int | None = None,
     suppress_ids: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Beam-search decoding fully under jit.
+    """Beam-search decoding fully under jit, matching HF ``_beam_search``.
 
-    The reference exposes beam search through HF ``generate`` (surface:
-    ``src/coral/whisper.py:214-230`` ``predict_with_generate`` /
-    ``generation_max_length``). Here beams ride the batch axis — the KV cache
-    and cross-attention K/V are laid out (B*K, ...), each step does one
-    ``decode_step`` for all beams, a top-k over ``K x V`` candidates per
-    utterance, and a gather to reorder beams (and their cache slices).
-    Finished beams propagate with frozen scores; final selection normalises by
-    generated length ** ``length_penalty`` (HF ``BeamSearchScorer``).
+    Mirrors transformers' vectorised beam search step for step (the surface
+    the reference reaches via ``predict_with_generate``, reference:
+    ``src/coral/whisper.py:214-230``): log-probs are processed (token
+    suppression, timestamp grammar) *after* the softmax without
+    renormalising, 2*K candidate continuations are drawn per batch item,
+    finished hypotheses move to a separate K-slot store guarded by HF's
+    ``-1e9`` additions, finished scores normalise by generated length
+    (prompt excluded, EOS included) ** ``length_penalty``, and the loop
+    stops on HF's improvement heuristic (``early_stopping``
+    False / True / "never"). ``num_beams=1`` routes to greedy exactly as
+    HF ``generate`` does. Pinned token-for-token against
+    ``WhisperForConditionalGeneration.generate(num_beams=...)`` in
+    ``tests/test_hf_generation_parity.py``.
+
+    The KV cache is never reordered: beams carry ancestor index chains
+    resolved inside attention (:func:`_ancestor_decode_step`), replacing
+    the per-step O(max_len) cache gather with O(1) index bookkeeping.
 
     Returns:
         (B, max_length) best sequences, prompt included, EOS-padded.
     """
+    if num_beams == 1:
+        return greedy_generate(
+            params, config, input_features, forced_ids, max_length, eos_id,
+            suppress_ids=suppress_ids, timestamps=timestamps,
+            timestamp_begin=timestamp_begin,
+        )
+
     B = input_features.shape[0]
     K = num_beams
+    K2 = 2 * K  # HF beams_to_keep = max(2, 1 + n_eos_tokens) * num_beams
     forced_ids = jnp.asarray(forced_ids, dtype=jnp.int32)
     n_forced = forced_ids.shape[0]
     V = params["decoder"]["embed_tokens"].shape[0]
+    penalty = jnp.asarray(length_penalty, jnp.float32)
 
     encoder_out = encode(params, config, input_features, deterministic=True)
     cross_k, cross_v = precompute_cross_kv(params, config, encoder_out)
     cross_kv = (
         jnp.repeat(cross_k, K, axis=1), jnp.repeat(cross_v, K, axis=1)
     )
-    cache = init_self_cache(config, B * K, max_length)
+    cache0 = init_self_cache(config, B * K, max_length)
 
     tokens0 = jnp.full((B * K,), forced_ids[0], dtype=jnp.int32)
-    buffer0 = jnp.full((B, K, max_length), eos_id, dtype=jnp.int32)
-    buffer0 = buffer0.at[:, :, 0].set(forced_ids[0])
-    # Identical beams at the start: only beam 0 carries probability mass.
-    scores0 = jnp.full((B, K), -jnp.inf).at[:, 0].set(0.0)
-    finished0 = jnp.zeros((B, K), dtype=bool)
+    run_seq0 = jnp.full((B, K, max_length), eos_id, jnp.int32)
+    run_seq0 = run_seq0.at[:, :, 0].set(forced_ids[0])
+    # Only beam 0 carries probability mass at the start (HF: -1e9 fill).
+    run_scores0 = jnp.full((B, K), -1e9, jnp.float32).at[:, 0].set(0.0)
+    fin_seq0 = jnp.full((B, K, max_length), eos_id, jnp.int32)
+    fin_scores0 = jnp.full((B, K), -1e9, jnp.float32)
+    is_fin0 = jnp.zeros((B, K), dtype=bool)
+    unsat0 = jnp.ones((B, 1), dtype=bool)  # early-stop heuristic state
+    hits0 = jnp.zeros((B, K2), dtype=bool)
+    anc0 = jnp.tile(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, max_length)
+    )
+    slot_ids = jnp.tile(
+        jnp.arange(K, dtype=jnp.int32)[None, :, None], (B, 1, 1)
+    )
+    top_beam_mask = jnp.arange(K2) < K  # first K of the 2K candidates
 
     def cond(carry):
-        pos, _, _, _, _, finished = carry
-        return (pos < max_length - 1) & ~jnp.all(finished)
+        pos = carry[0]
+        is_fin, unsat, hits = carry[6], carry[7], carry[8]
+        improvement_possible = jnp.any(unsat)
+        if early_stopping is True:
+            exists_open = ~jnp.all(is_fin)
+        else:
+            exists_open = jnp.asarray(True)
+        valid_continuations = ~jnp.all(hits)
+        return (
+            (pos < max_length - 1)
+            & improvement_possible & exists_open & valid_continuations
+        )
 
     def body(carry):
-        pos, tokens, buffer, scores, cache, finished = carry
-        logits, new_cache = decode_step(
-            params, config, tokens, pos, cache, cross_kv
+        (pos, tokens, run_seq, run_scores, fin_seq, fin_scores,
+         is_fin, unsat, hits, anc, cache) = carry
+        logits, new_cache = _ancestor_decode_step(
+            params, config, tokens, pos, cache, cross_kv, anc
         )  # (B*K, V)
-        if suppress_ids is not None:
-            logits = logits.at[:, suppress_ids].set(-jnp.inf)
-        if timestamps:
-            logits = apply_timestamp_rules(
-                logits, buffer.reshape(B * K, max_length), pos, n_forced,
-                timestamp_begin, eos_id,
-            )
 
         def forced_branch(_):
             nxt = jnp.full(
                 (B * K,), forced_ids[jnp.minimum(pos + 1, n_forced - 1)],
                 jnp.int32,
             )
-            buf = jax.lax.dynamic_update_slice(
-                buffer, nxt.reshape(B, K, 1), (0, 0, pos + 1)
+            seq = jax.lax.dynamic_update_slice(
+                run_seq, nxt.reshape(B, K, 1), (0, 0, pos + 1)
             )
-            return nxt, buf, scores, new_cache, finished
+            return (nxt, seq, run_scores, fin_seq, fin_scores, is_fin,
+                    unsat, hits, anc)
 
         def free_branch(_):
-            logp = jax.nn.log_softmax(
-                logits.astype(jnp.float32), axis=-1
-            ).reshape(B, K, V)
-            # Finished beams admit exactly one candidate: another EOS at an
-            # unchanged score.
-            eos_only = jnp.full((V,), -jnp.inf).at[eos_id].set(0.0)
-            step_logp = jnp.where(
-                finished[:, :, None], eos_only[None, None, :], logp
-            )
-            cand = scores[:, :, None] + step_logp  # (B, K, V)
-            new_scores, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K)
-            beam_idx = flat_idx // V  # (B, K)
+            # HF processes log-probs, not logits; masks do NOT renormalise.
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            if suppress_ids is not None:
+                logp = logp.at[:, suppress_ids].set(-jnp.inf)
+            if timestamps:
+                logp = apply_timestamp_rules(
+                    logp, run_seq.reshape(B * K, max_length), pos, n_forced,
+                    timestamp_begin, eos_id,
+                )
+            cand = logp.reshape(B, K, V) + run_scores[:, :, None]
+            scores2k, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K2)
+            parent = flat_idx // V  # (B, K2)
             token = (flat_idx % V).astype(jnp.int32)
 
-            take = lambda arr: jnp.take_along_axis(arr, beam_idx, axis=1)
-            buf = jnp.take_along_axis(
-                buffer, beam_idx[:, :, None], axis=1
+            seq2k = jnp.take_along_axis(run_seq, parent[:, :, None], axis=1)
+            seq2k = jax.lax.dynamic_update_slice(
+                seq2k, token[:, :, None], (0, 0, pos + 1)
             )
-            buf = jax.lax.dynamic_update_slice(
-                buf, token[:, :, None], (0, 0, pos + 1)
+            anc2k = jnp.take_along_axis(anc, parent[:, :, None], axis=1)
+
+            # Stopping criteria on all 2K candidates (EOS / max length).
+            hits_new = (token == eos_id) | ((pos + 2) >= max_length)
+
+            # Running beams for the next step: top K non-finished; the -1e9
+            # stays folded into the carried scores, as in HF.
+            masked = scores2k + hits_new.astype(jnp.float32) * -1e9
+            _, idx_r = jax.lax.top_k(masked, K)
+            run_seq_n = jnp.take_along_axis(seq2k, idx_r[:, :, None], axis=1)
+            run_scores_n = jnp.take_along_axis(masked, idx_r, axis=1)
+            anc_n = jnp.take_along_axis(anc2k, idx_r[:, :, None], axis=1)
+            # Next decode writes KV at pos+1 into each slot's own row.
+            anc_n = jax.lax.dynamic_update_slice(
+                anc_n, slot_ids, (0, 0, pos + 1)
             )
-            fin = take(finished) | (token == eos_id)
+            tokens_n = jnp.take_along_axis(token, idx_r, axis=1).reshape(
+                B * K
+            )
 
-            def reorder(c):
-                shaped = c.reshape(
-                    c.shape[0], B, K, *c.shape[2:]
-                )
-                idx = beam_idx.reshape(
-                    (1, B, K) + (1,) * (shaped.ndim - 3)
-                )
-                return jnp.take_along_axis(shaped, idx, axis=2).reshape(
-                    c.shape
-                )
+            # Finished-store update (HF _update_finished_beams).
+            did_fin = hits_new & top_beam_mask[None, :]
+            gen_len = (pos + 2 - n_forced).astype(jnp.float32)
+            lp_fin = scores2k / (gen_len ** penalty)
+            if early_stopping is True:
+                full = jnp.all(is_fin, axis=-1, keepdims=True)
+                lp_fin = lp_fin + full.astype(jnp.float32) * -1e9
+            lp_fin = lp_fin + (~unsat).astype(jnp.float32) * -1e9
+            lp_fin = lp_fin + (~did_fin).astype(jnp.float32) * -1e9
+            merged_seq = jnp.concatenate([fin_seq, seq2k], axis=1)
+            merged_scores = jnp.concatenate([fin_scores, lp_fin], axis=1)
+            merged_fin = jnp.concatenate([is_fin, did_fin], axis=1)
+            _, idx_f = jax.lax.top_k(merged_scores, K)
+            fin_seq_n = jnp.take_along_axis(
+                merged_seq, idx_f[:, :, None], axis=1
+            )
+            fin_scores_n = jnp.take_along_axis(merged_scores, idx_f, axis=1)
+            is_fin_n = jnp.take_along_axis(merged_fin, idx_f, axis=1)
 
-            cache_r = (reorder(new_cache[0]), reorder(new_cache[1]))
-            return token.reshape(B * K), buf, new_scores, cache_r, fin
+            # Early-stop heuristic for the NEXT iteration (HF
+            # _check_early_stop_heuristic, evaluated at cur_len = pos + 2).
+            if early_stopping == "never" and length_penalty > 0.0:
+                best_len = jnp.asarray(max_length - n_forced, jnp.float32)
+            else:
+                best_len = gen_len
+            best_possible = run_scores_n[:, :1] / (best_len ** penalty)
+            worst_fin = jnp.where(
+                is_fin_n,
+                jnp.min(fin_scores_n, axis=1, keepdims=True),
+                -1e9,
+            )
+            unsat_n = unsat & jnp.any(
+                best_possible > worst_fin, axis=-1, keepdims=True
+            )
+            return (tokens_n, run_seq_n, run_scores_n, fin_seq_n,
+                    fin_scores_n, is_fin_n, unsat_n, hits_new, anc_n)
 
-        nxt, buf, sc, cache_o, fin = jax.lax.cond(
+        (tokens_n, run_seq_n, run_scores_n, fin_seq_n, fin_scores_n,
+         is_fin_n, unsat_n, hits_n, anc_n) = jax.lax.cond(
             pos + 1 < n_forced, forced_branch, free_branch, operand=None
         )
-        return pos + 1, nxt, buf, sc, cache_o, fin
+        return (pos + 1, tokens_n, run_seq_n, run_scores_n, fin_seq_n,
+                fin_scores_n, is_fin_n, unsat_n, hits_n, anc_n, new_cache)
 
-    _, _, buffer, scores, _, _ = jax.lax.while_loop(
+    final = jax.lax.while_loop(
         cond, body,
-        (jnp.asarray(0, jnp.int32), tokens0, buffer0, scores0, cache,
-         finished0),
+        (jnp.asarray(0, jnp.int32), tokens0, run_seq0, run_scores0,
+         fin_seq0, fin_scores0, is_fin0, unsat0, hits0, anc0, cache0),
     )
-
-    # Length-normalised final selection. HF's BeamSearchScorer divides by the
-    # FULL hypothesis length (prompt included, plus the EOS when one was
-    # emitted); beams that never finished score over max_length.
-    positions = jnp.arange(max_length)
-    gen_mask = (positions[None, None, :] >= n_forced) & (buffer != eos_id)
-    gen_counts = jnp.sum(gen_mask, axis=-1)
-    has_eos = jnp.any(
-        (buffer == eos_id) & (positions[None, None, :] >= n_forced), axis=-1
-    )
-    lengths = jnp.where(
-        has_eos, n_forced + gen_counts + 1, max_length
-    )
-    norm = scores / (lengths.astype(jnp.float32) ** length_penalty)
-    best = jnp.argmax(norm, axis=-1)  # (B,)
-    return jnp.take_along_axis(
-        buffer, best[:, None, None], axis=1
-    )[:, 0, :]
+    # The finished store is sorted by score descending; slot 0 is the best.
+    return final[4][:, 0, :]
