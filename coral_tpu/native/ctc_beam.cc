@@ -26,13 +26,22 @@
 //     and finalisation adds log10 P(</s> | context);
 //   - beams below (best - beam_prune_logp) are dropped each frame, then the
 //     top beam_width survive;
-//   - finalisation scores the trailing partial word as a full word.
-//
-// Known deviation from pyctcdecode (documented, exercised by tests): when a
-// transcript ends exactly on a word boundary, we still add the </s> score
-// under score_boundary; pyctcdecode's per-text LM cache skips </s> for such
-// beams. Hotwords use a whole-word boost (+hotword_weight per completed
-// hotword) rather than pyctcdecode's character-prorated prefix boost.
+//   - finalisation merges beams by (text, trailing word) — last_char is
+//     dropped, acoustic scores log-sum-exp — then scores the trailing
+//     partial word as a full word (pyctcdecode `_merge_beams` + the
+//     `is_eos` `_get_lm_beams` pass);
+//   - pyctcdecode's per-text LM cache is reproduced at finalisation: </s>
+//     (under score_boundary) is only added for final texts that were never
+//     LM-scored mid-beam (a transcript ending exactly on a word boundary
+//     hits the cache and skips </s>; a trailing partial whose merged text
+//     some other path had already completed does too), and a finalisation
+//     entry — cached *with* </s> — is consulted by later beams sharing the
+//     same final text;
+//   - hotwords follow pyctcdecode's HotwordScorer: +hotword_weight per
+//     completed hotword, and in-progress words that are a prefix of some
+//     hotword earn the character-prorated bonus
+//     weight * len(part) / len(shortest hotword with that prefix)
+//     (codepoint lengths) in place of the LM partial penalty.
 //
 // Exposed through the same C ABI shared library as the LM (ctypes; no
 // pybind11 in this image).
@@ -47,6 +56,7 @@
 #include <sstream>
 #include <string>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 namespace coral {
@@ -92,6 +102,16 @@ struct DecodeOptions {
   const std::set<std::string>* hotwords = nullptr;
 };
 
+// Codepoint count of a UTF-8 string (Python len(); the hotword proration is
+// defined on characters, and Danish hotwords carry multibyte æ/ø/å).
+static size_t Utf8Len(const std::string& s) {
+  size_t n = 0;
+  for (unsigned char c : s) {
+    if ((c & 0xC0) != 0x80) ++n;
+  }
+  return n;
+}
+
 // pyctcdecode score_partial_token: 0 when the partial word is a prefix of a
 // known unigram; otherwise the unk offset, scaled for overlong tokens.
 static double PartialWordPenalty(const std::string& part,
@@ -106,6 +126,28 @@ static double PartialWordPenalty(const std::string& part,
     penalty *= static_cast<double>(part.size()) / kAvgTokenLen;
   }
   return penalty;
+}
+
+// In-progress-word score used for mid-beam ranking. When the partial is a
+// prefix of some hotword, pyctcdecode's HotwordScorer.score_partial_token
+// takes over from the LM partial penalty: weight * len(part) / len(shortest
+// hotword with that prefix), lengths in codepoints.
+static double PartialScore(const std::string& part, const DecodeOptions& opt) {
+  if (part.empty()) return 0.0;
+  if (opt.hotwords != nullptr) {
+    size_t min_len = SIZE_MAX;
+    for (auto it = opt.hotwords->lower_bound(part);
+         it != opt.hotwords->end() &&
+         it->compare(0, part.size(), part) == 0;
+         ++it) {
+      min_len = std::min(min_len, Utf8Len(*it));
+    }
+    if (min_len != SIZE_MAX) {
+      return opt.hotword_weight * static_cast<double>(Utf8Len(part)) /
+             static_cast<double>(min_len);
+    }
+  }
+  return PartialWordPenalty(part, opt);
 }
 
 // LM context for the next word: the last (order-1) items of [<s>] + words.
@@ -165,6 +207,12 @@ char* DecodeImpl(const float* log_probs, int T, int V, const char** vocab,
                  const DecodeOptions& opt) {
   std::vector<Beam> beams(1);
   beams[0].logit_score = 0.0;  // empty prefix, log 1
+
+  // pyctcdecode's per-text LM cache, reduced to what finalisation needs:
+  // which texts were scored, and whether their cached entry includes </s>
+  // (mid-beam entries never do; finalisation entries always do).
+  std::unordered_map<std::string, bool> lm_cache_has_eos;
+  lm_cache_has_eos.emplace("", false);  // cache starts with the empty prefix
 
   std::vector<Beam> next;
   next.reserve(opt.beam_width * 8);
@@ -229,6 +277,7 @@ char* DecodeImpl(const float* log_probs, int T, int V, const char** vocab,
           if (!b.word_part.empty()) {
             lm_acc += ScoreWord(lm, text, b.word_part, opt);
             text = MergeText(text, b.word_part);
+            lm_cache_has_eos.emplace(text, false);
           }
           Beam& nb = slot(text, "", v);
           nb.logit_score = LogAdd(nb.logit_score, b.logit_score + p_v);
@@ -248,7 +297,7 @@ char* DecodeImpl(const float* log_probs, int T, int V, const char** vocab,
     std::vector<std::pair<double, size_t>> ranked(next.size());
     for (size_t i = 0; i < next.size(); ++i) {
       ranked[i] = {next[i].logit_score + next[i].lm_score +
-                       PartialWordPenalty(next[i].word_part, opt),
+                       PartialScore(next[i].word_part, opt),
                    i};
     }
     std::sort(ranked.begin(), ranked.end(),
@@ -267,15 +316,45 @@ char* DecodeImpl(const float* log_probs, int T, int V, const char** vocab,
     beams.swap(next);
   }
 
-  // Finalise: trailing partial word becomes a full word; </s> under
-  // score_boundary.
+  // Finalise (pyctcdecode `_merge_beams` + `_get_lm_beams(is_eos=True)`):
+  // first merge beams by (text, trailing word) — last_char is dropped;
+  // beams with the same composition log-sum-exp their acoustic scores and
+  // share the same (path-independent) LM score. First-occurrence order is
+  // kept, because the LM cache below is order-sensitive.
+  {
+    std::unordered_map<std::string, size_t> merged_index;
+    std::vector<Beam> merged;
+    merged.reserve(beams.size());
+    for (Beam& b : beams) {
+      std::string key = b.text;
+      key += '\x01';
+      key += b.word_part;
+      auto it = merged_index.find(key);
+      if (it == merged_index.end()) {
+        merged_index.emplace(std::move(key), merged.size());
+        merged.push_back(std::move(b));
+      } else {
+        Beam& m = merged[it->second];
+        m.logit_score = LogAdd(m.logit_score, b.logit_score);
+      }
+    }
+    beams.swap(merged);
+  }
+
+  // Trailing partial word becomes a full word; </s> (under score_boundary)
+  // follows the LM cache: skipped when the final text was already scored
+  // mid-beam, added (and cached with </s>, visible to later beams sharing
+  // the text) when it was not.
   for (Beam& b : beams) {
+    std::string new_text = MergeText(b.text, b.word_part);
+    auto inserted = lm_cache_has_eos.emplace(new_text, true);
+    bool add_eos = inserted.second || inserted.first->second;
     if (!b.word_part.empty()) {
       b.lm_score += ScoreWord(lm, b.text, b.word_part, opt);
-      b.text = MergeText(b.text, b.word_part);
       b.word_part.clear();
     }
-    b.lm_score += ScoreEos(lm, b.text, opt);
+    b.text = std::move(new_text);
+    if (add_eos) b.lm_score += ScoreEos(lm, b.text, opt);
   }
   std::sort(beams.begin(), beams.end(), [](const Beam& a, const Beam& b) {
     return a.logit_score + a.lm_score > b.logit_score + b.lm_score;

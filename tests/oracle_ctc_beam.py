@@ -9,8 +9,13 @@ implementation in ``coral_tpu/native/ctc_beam.cc``:
 - beams keyed by (completed text, partial word, last char), acoustic scores
   merged by log-sum-exp;
 - per-frame candidates: tokens with log p >= token_min_logp plus the argmax;
-- fused per-frame ranking: logit + completed-word LM + partial-word penalty;
-- score_boundary <s>/</s> handling, pyctcdecode pruning defaults.
+- fused per-frame ranking: logit + completed-word LM + partial-word score
+  (hotword-prefix proration when the partial prefixes a hotword, else the
+  unigram unk penalty);
+- score_boundary <s>/</s> handling through pyctcdecode's per-text LM cache
+  (</s> skipped for final texts already scored mid-beam; finalisation
+  entries cache it), finalisation merge by (text, trailing word);
+- pyctcdecode pruning defaults.
 
 Shares nothing with the C++ code except the n-gram LM queries.
 """
@@ -46,6 +51,16 @@ def _partial_penalty(part, unigrams, unk_offset):
     return penalty
 
 
+def _partial_score(part, unigrams, unk_offset, hotwords, hotword_weight):
+    """Hotword-prefix proration takes over from the LM partial penalty
+    (pyctcdecode HotwordScorer.score_partial_token)."""
+    if part and hotwords:
+        lens = [len(h) for h in hotwords if h.startswith(part)]
+        if lens:
+            return hotword_weight * len(part) / min(lens)
+    return _partial_penalty(part, unigrams, unk_offset)
+
+
 def oracle_decode(
     log_probs,
     vocab,
@@ -79,6 +94,9 @@ def oracle_decode(
 
     # (text, part, last_char) -> [logit_score, lm_score]
     beams = {("", "", -1): [0.0, 0.0]}
+    # pyctcdecode's per-text LM cache: text -> whether the entry includes
+    # </s> (mid-beam entries never do; finalisation entries always do).
+    cache_has_eos = {"": False}
 
     for frame in log_probs:
         arg_max = int(max(range(len(frame)), key=lambda v: frame[v]))
@@ -105,6 +123,7 @@ def oracle_decode(
                 elif v == word_sep_id:
                     if part:
                         new_text = f"{text} {part}".strip()
+                        cache_has_eos.setdefault(new_text, False)
                         add((new_text, "", v), logit + p,
                             lms + score_word(text, part))
                     else:
@@ -114,8 +133,8 @@ def oracle_decode(
 
         def fused(item):
             (text, part, last), (logit, lms) = item
-            return logit + lms + _partial_penalty(
-                part, unigrams, unk_score_offset
+            return logit + lms + _partial_score(
+                part, unigrams, unk_score_offset, hotset, hotword_weight
             )
 
         ranked = sorted(nxt.items(), key=fused, reverse=True)
@@ -123,15 +142,34 @@ def oracle_decode(
         ranked = [it for it in ranked if fused(it) >= cutoff][:beam_width]
         beams = dict(ranked)
 
-    # Finalise: trailing partial word, then </s>.
+    # Finalise. First pyctcdecode's `_merge_beams`: drop last_char, merge
+    # same-(text, part) beams by log-sum-exp (LM scores are path-independent,
+    # hence equal), keeping first-occurrence order — the LM cache below is
+    # order-sensitive.
+    merged: dict = {}
+    for (text, part, _last), (logit, lms) in beams.items():
+        cur = merged.get((text, part))
+        if cur is None:
+            merged[(text, part)] = [logit, lms]
+        else:
+            cur[0] = _logadd(cur[0], logit)
+
+    # Trailing partial word, then </s> through the LM cache: skipped when the
+    # final text was already scored mid-beam; otherwise added and cached with
+    # </s>, visible to later beams sharing the text.
     final = []
-    for (text, part, last), (logit, lms) in beams.items():
+    for (text, part), (logit, lms) in merged.items():
+        new_text = f"{text} {part}".strip() if part else text
+        if new_text in cache_has_eos:
+            add_eos = cache_has_eos[new_text]
+        else:
+            add_eos = True
+            cache_has_eos[new_text] = True
         if part:
             lms += score_word(text, part)
-            text = f"{text} {part}".strip()
-        if lm is not None and score_boundary:
-            ctx = _context(text, order, score_boundary)
+        if add_eos and lm is not None and score_boundary:
+            ctx = _context(new_text, order, score_boundary)
             lms += alpha * lm.logprob("</s>", ctx) * ln10
-        final.append((logit + lms, text))
+        final.append((logit + lms, new_text))
     final.sort(reverse=True)
     return final[0][1] if final else ""

@@ -103,6 +103,64 @@ def test_parity_narrow_beam(lm):
     _compare(lm, 20, beam_width=4, seed=4)
 
 
+def synth_logits_trailing_sep(rng):
+    """Utterances whose final frames force a word separator, so the top
+    beams end exactly on a word boundary."""
+    mat = synth_logits(rng)
+    tail = np.full((2, len(VOCAB)), -8.0)
+    tail[:, SEP] = -0.05
+    tail = tail - np.log(np.exp(tail).sum(axis=1, keepdims=True))
+    return np.concatenate([mat, tail.astype(np.float32)], axis=0)
+
+
+def test_parity_word_boundary_final(lm):
+    """pyctcdecode's LM cache skips </s> for transcripts that end exactly on
+    a word boundary while still adding it for mid-word beams — the round-2
+    reconciliation. Both implementations must agree on utterances whose last
+    frames force a trailing separator."""
+    rng = np.random.default_rng(8)
+    mismatches = []
+    for i in range(30):
+        logits = synth_logits_trailing_sep(rng)
+        native = BeamSearchDecoder(
+            VOCAB, blank_id=BLANK, word_sep_id=SEP, lm=lm
+        ).decode(logits)
+        oracle = oracle_decode(logits, VOCAB, BLANK, SEP, lm=lm)
+        if native != oracle:
+            mismatches.append((i, native, oracle))
+    assert not mismatches, mismatches[:5]
+
+
+def test_hotword_prefix_proration_steers_pruning(lm):
+    """The character-prorated hotword-prefix bonus (the other round-2
+    reconciliation) must act mid-beam: with a tight prune threshold, the
+    hotword-prefix path survives where the acoustically favoured non-prefix
+    path wins without hotwords."""
+    T = 6
+    logits = np.full((T, len(VOCAB)), -12.0, dtype=np.float32)
+    for t, ch in enumerate("dfg"):
+        logits[2 * t, VOCAB.index(ch)] = -0.1
+        logits[2 * t + 1, BLANK] = -0.1
+    # final char ambiguous, slightly favouring the NON-hotword ending
+    logits[4, VOCAB.index("g")] = -0.8
+    logits[4, VOCAB.index("h")] = -0.6
+    logits = logits - np.log(np.exp(logits).sum(axis=1, keepdims=True))
+
+    kw = dict(blank_id=BLANK, word_sep_id=SEP, lm=None, beam_prune_logp=-5.0)
+    without = BeamSearchDecoder(VOCAB, **kw).decode(logits)
+    with_hot = BeamSearchDecoder(
+        VOCAB, hotwords=["dfg"], hotword_weight=10.0, **kw
+    ).decode(logits)
+    assert without == "dfh"
+    assert with_hot == "dfg"
+    # and the oracle agrees on both configurations
+    assert oracle_decode(logits, VOCAB, BLANK, SEP, lm=None,
+                         beam_prune_logp=-5.0) == "dfh"
+    assert oracle_decode(logits, VOCAB, BLANK, SEP, lm=None,
+                         hotwords=["dfg"], hotword_weight=10.0,
+                         beam_prune_logp=-5.0) == "dfg"
+
+
 def test_boundary_scoring_changes_result_shape(lm):
     """<s>/</s> scoring must actually flow into the totals: the fused score of
     a decode differs when toggled (same argmax text is fine)."""
