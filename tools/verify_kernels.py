@@ -1,0 +1,233 @@
+"""One-command Mosaic-lowered kernel verification on the real TPU.
+
+Every Pallas kernel auto-runs in interpreter mode off-TPU (the CPU suite
+exercises the kernel code), but interpreter != Mosaic. This tool runs
+forward AND backward parity for every production kernel on the attached
+chip against XLA references, so each perf round re-proves numerics with:
+
+    python tools/verify_kernels.py
+
+Exit code 0 = all kernels within tolerance. Referenced from PARITY.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+PASS = []
+FAIL = []
+
+
+def check(name: str, got, want, atol: float, rtol: float = 0.0):
+    got = np.asarray(got, dtype=np.float64)
+    want = np.asarray(want, dtype=np.float64)
+    err = np.max(np.abs(got - want) / (atol + rtol * np.abs(want)))
+    ok = bool(err <= 1.0)
+    (PASS if ok else FAIL).append(name)
+    print(f"  {'PASS' if ok else 'FAIL'}  {name:48s} rel-to-tol={err:.3f}")
+
+
+def verify_attention_pallas():
+    """short_t_attention fwd/bwd (the wav2vec2 encoder kernel) vs XLA."""
+    from coral_tpu.ops.attention_pallas import short_t_attention
+
+    print("attention_pallas (short_t_attention):")
+    rng = np.random.default_rng(0)
+    B, T, H, d = 4, 499, 16, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    lengths = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,)))
+    mask = jnp.arange(T)[None, :] < lengths[:, None]
+
+    def xla_ref(q, k, v):
+        bias = jnp.where(mask, 0.0, -1e30).astype(jnp.float32)
+        s = jnp.einsum(
+            "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+        ) * (d ** -0.5)
+        w = jax.nn.softmax(s + bias[:, None, None, :], axis=-1)
+        return jnp.einsum(
+            "bhts,bshd->bthd", w.astype(q.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    fused = jax.jit(lambda q, k, v: short_t_attention(q, k, v, mask))
+    ref = jax.jit(xla_ref)
+    check("forward", fused(q, k, v), ref(q, k, v), atol=2e-2)
+
+    loss = lambda f: lambda q, k, v: jnp.sum(  # noqa: E731
+        f(q, k, v).astype(jnp.float32) ** 2
+    )
+    g_fused = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(q, k, v)
+    g_ref = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g_fused, g_ref):
+        check(f"backward {name}", a, b, atol=1.0, rtol=2e-2)
+
+
+def verify_ln_gelu():
+    """Fused LayerNorm(+GELU) fwd/bwd (feature-encoder kernel) vs XLA."""
+    from coral_tpu.ops.ln_gelu_pallas import ln_fused, ln_gelu
+
+    print("ln_gelu_pallas (ln_gelu / ln_fused):")
+    rng = np.random.default_rng(1)
+    B, T, C = 4, 3199, 512  # ragged last tile on purpose
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    gamma = jnp.asarray(rng.standard_normal(C) * 0.2 + 1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(C) * 0.2, jnp.float32)
+
+    def ref(x, gamma, beta, act):
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        c = x - mu
+        var = jnp.mean(c * c, axis=-1, keepdims=True)
+        z = c * jax.lax.rsqrt(var + 1e-5) * gamma + beta
+        return jax.nn.gelu(z, approximate=False) if act else z
+
+    for fused_fn, act, tag in ((ln_gelu, True, "ln_gelu"),
+                               (ln_fused, False, "ln_fused")):
+        fused = jax.jit(lambda x, g, b, f=fused_fn: f(x, g, b, interpret=False))
+        plain = jax.jit(lambda x, g, b, a=act: ref(x, g, b, a))
+        check(f"{tag} forward", fused(x, gamma, beta), plain(x, gamma, beta),
+              atol=2e-5)
+        loss = lambda f: lambda *a: jnp.sum(jnp.sin(f(*a)))  # noqa: E731
+        gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(x, gamma, beta)
+        gr = jax.jit(jax.grad(loss(plain), argnums=(0, 1, 2)))(x, gamma, beta)
+        for name, a, b in zip(("dx", "dgamma", "dbeta"), gf, gr):
+            check(f"{tag} backward {name}", a, b, atol=1e-4, rtol=1e-4)
+
+
+def verify_gelu_dropout():
+    """Fused GELU+dropout: exact at rate=0; mask/scale law at rate>0."""
+    from coral_tpu.ops.gelu_dropout_pallas import gelu_dropout
+
+    print("gelu_dropout_pallas:")
+    rng = np.random.default_rng(2)
+    B, T, F = 4, 499, 4096
+    x = jnp.asarray(rng.standard_normal((B, T, F)), jnp.bfloat16)
+    key = jax.random.PRNGKey(3)
+
+    ref0 = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
+    got0 = jax.jit(lambda x: gelu_dropout(x, 0.0, key, interpret=False))(x)
+    check("rate=0 forward == exact gelu", got0.astype(jnp.float32), ref0,
+          atol=2e-2)
+
+    loss = lambda f: lambda x: jnp.sum(f(x).astype(jnp.float32) ** 2)  # noqa: E731
+    g0 = jax.jit(jax.grad(loss(
+        lambda x: gelu_dropout(x, 0.0, key, interpret=False))))(x)
+    gr = jax.jit(jax.grad(loss(
+        lambda x: jax.nn.gelu(x, approximate=False))))(x)
+    check("rate=0 backward", g0.astype(jnp.float32),
+          gr.astype(jnp.float32), atol=1.0, rtol=5e-2)
+
+    rate = 0.1
+    fwd = jax.jit(lambda x: gelu_dropout(x, rate, key, interpret=False))
+    y = np.asarray(fwd(x).astype(jnp.float32))
+    kept = y != 0.0
+    frac = kept.mean()
+    ok_frac = abs(frac - (1 - rate)) < 0.01
+    (PASS if ok_frac else FAIL).append("dropout keep fraction")
+    print(f"  {'PASS' if ok_frac else 'FAIL'}  "
+          f"{'dropout keep fraction':48s} got={frac:.4f} want~{1 - rate}")
+    # kept entries are gelu(x)/(1-rate)
+    ref_scaled = np.asarray(ref0) / (1 - rate)
+    check("dropout kept values scaled", np.where(kept, y, 0.0),
+          np.where(kept, ref_scaled, 0.0), atol=3e-2)
+    # backward masks exactly where forward dropped (mask re-seed parity)
+    gdrop = np.asarray(jax.jit(jax.grad(loss(fwd)))(x).astype(jnp.float32))
+    dead_rows = ~kept & (np.abs(np.asarray(x, np.float64)) > 1e-2)
+    leak = np.abs(gdrop[dead_rows]).max() if dead_rows.any() else 0.0
+    ok_leak = leak == 0.0
+    (PASS if ok_leak else FAIL).append("dropout bwd mask parity")
+    print(f"  {'PASS' if ok_leak else 'FAIL'}  "
+          f"{'dropout bwd mask parity':48s} leak={leak}")
+
+
+def verify_ctc():
+    """Pallas CTC recursion vs the lax.scan implementation, fwd + grads."""
+    from coral_tpu.ops.ctc import ctc_loss
+
+    print("ctc_pallas vs xla recursion:")
+    rng = np.random.default_rng(4)
+    T, B, V, L = 499, 8, 40, 64
+    logits = jnp.asarray(rng.standard_normal((T, B, V)), jnp.float32)
+    labels = jnp.asarray(rng.integers(1, V, size=(B, L)), jnp.int32)
+    in_len = jnp.asarray(rng.integers(T // 2, T + 1, size=(B,)), jnp.int32)
+    lab_len = jnp.asarray(rng.integers(8, L + 1, size=(B,)), jnp.int32)
+
+    def run(impl):
+        os.environ["CORAL_CTC_IMPL"] = impl
+
+        def f(logits):
+            lp = jax.nn.log_softmax(logits, axis=-1)
+            return ctc_loss(lp, labels, in_len, lab_len, blank_id=0)
+
+        val, grad = jax.value_and_grad(f)(logits)  # fresh trace per impl
+        os.environ.pop("CORAL_CTC_IMPL", None)
+        return val, grad
+
+    v_p, g_p = run("pallas")
+    v_x, g_x = run("xla")
+    check("loss", v_p, v_x, atol=1e-3)
+    check("dlogits", g_p, g_x, atol=1e-4, rtol=1e-3)
+
+
+def verify_flash():
+    """Whisper flash encoder attention fwd/bwd vs XLA."""
+    from coral_tpu.ops.flash_attention import flash_self_attention
+
+    print("flash_attention (whisper encoder):")
+    rng = np.random.default_rng(5)
+    B, T, H, d = 2, 1500, 12, 64
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.bfloat16)
+        for _ in range(3)
+    )
+
+    def xla_ref(q, k, v):
+        s = jnp.einsum(
+            "bthd,bshd->bhts", q, k, preferred_element_type=jnp.float32
+        ) * (d ** -0.5)
+        w = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum(
+            "bhts,bshd->bthd", w.astype(q.dtype), v,
+            preferred_element_type=jnp.float32,
+        ).astype(q.dtype)
+
+    fused = jax.jit(flash_self_attention)
+    ref = jax.jit(xla_ref)
+    check("forward", fused(q, k, v), ref(q, k, v), atol=2e-2)
+
+    loss = lambda f: lambda q, k, v: jnp.sum(  # noqa: E731
+        f(q, k, v).astype(jnp.float32) ** 2
+    )
+    gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(q, k, v)
+    gr = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), gf, gr):
+        check(f"backward {name}", a, b, atol=1.0, rtol=3e-2)
+
+
+def main():
+    if jax.default_backend() != "tpu":
+        print("ERROR: no TPU attached — this tool verifies Mosaic lowering.")
+        return 2
+    print(f"devices: {jax.devices()}\n")
+    verify_attention_pallas()
+    verify_ln_gelu()
+    verify_gelu_dropout()
+    verify_ctc()
+    verify_flash()
+    print(f"\n{len(PASS)} passed, {len(FAIL)} failed"
+          + (f": {FAIL}" if FAIL else ""))
+    return 1 if FAIL else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
