@@ -1,13 +1,17 @@
 """Throughput benchmark: wav2vec2-XLS-R-300m CTC fine-tune step on one chip.
 
 Prints ONE JSON line:
-    {"metric": "...", "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N}
+    {"metric": "...", "value": N, "unit": "audio-sec/sec/chip", "vs_baseline": N,
+     "tflops_per_chip": N, "mfu": N, ...whisper step/generation keys}
 
 The north star (BASELINE.json) is >=2x an A100 running the reference HF/DeepSpeed
 stack on the same model. No throughput number is published by the reference, so the
 baseline constant below is an engineering estimate of the reference stack's A100
 throughput for wav2vec2-300m at batch 64 x <=10s clips (HF Trainer, fp16/bf16,
 dataloader-bound): ~600 audio-seconds of training data consumed per second per GPU.
+To ground the claim in hardware, the JSON also carries achieved model TFLOP/s and
+MFU (analytic model FLOPs / measured step time / chip peak), plus whisper-small
+step and generation throughput so regressions there are machine-readable.
 """
 
 from __future__ import annotations
@@ -23,6 +27,56 @@ import jax.numpy as jnp
 import numpy as np
 
 A100_REFERENCE_AUDIO_SEC_PER_SEC = 600.0
+
+# bf16 peak per chip, by device_kind prefix (TFLOP/s).
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,  # v5e
+    "TPU v5": 459.0,       # v5p
+    "TPU v4": 275.0,
+    "TPU v6": 918.0,       # v6e
+}
+
+
+def chip_peak_tflops() -> float:
+    kind = jax.devices()[0].device_kind
+    for prefix, peak in sorted(PEAK_TFLOPS.items(), key=lambda kv: -len(kv[0])):
+        if kind.startswith(prefix):
+            return peak
+    return 197.0
+
+
+def w2v2_train_flops_per_sample(config, audio_len: int, label_len: int) -> float:
+    """Analytic *model* FLOPs for one training sample (fwd + bwd = 3x fwd;
+    rematerialisation recompute deliberately excluded — standard MFU).
+
+    Components: feature-encoder convs, feature projection, conv positional
+    embedding, per-layer attention (projections + scores/values) and FFN,
+    and the CTC head. The CTC recursion itself is O(T * L) adds — negligible.
+    """
+    # conv stack
+    t = audio_len
+    c_in = 1
+    conv_macs = 0.0
+    for c_out, k, s in zip(config.conv_dim, config.conv_kernel,
+                           config.conv_stride):
+        t = (t - k) // s + 1
+        conv_macs += t * k * c_in * c_out
+        c_in = c_out
+    T = t  # encoder frames
+    d = config.hidden_size
+    ffn = config.intermediate_size
+    L = config.num_hidden_layers
+    proj_macs = T * config.conv_dim[-1] * d
+    pos_conv_macs = (
+        T * d * (d // config.num_conv_pos_embedding_groups)
+        * config.num_conv_pos_embeddings
+    )
+    per_layer = 4 * T * d * d + 2 * T * T * d + 2 * T * d * ffn
+    head_macs = T * d * config.vocab_size
+    fwd_flops = 2 * (
+        conv_macs + proj_macs + pos_conv_macs + L * per_layer + head_macs
+    )
+    return 3.0 * fwd_flops
 
 # Bench shape: 32 x 10s clips per step (throughput saturates at B>=32 on v5e).
 BATCH = 32
@@ -125,18 +179,135 @@ def main() -> None:
     audio_seconds = MEASURE_STEPS * ACCUM * global_batch * SECONDS
     throughput_per_chip = audio_seconds / elapsed / n_chips
 
-    print(
-        json.dumps(
-            {
-                "metric": "wav2vec2-315M CTC finetune throughput",
-                "value": round(throughput_per_chip, 2),
-                "unit": "audio-sec/sec/chip",
-                "vs_baseline": round(
-                    throughput_per_chip / A100_REFERENCE_AUDIO_SEC_PER_SEC, 3
-                ),
-            }
-        )
+    step_s = elapsed / MEASURE_STEPS
+    flops_per_step = (
+        w2v2_train_flops_per_sample(config, T, LABEL_LEN) * global_batch
     )
+    achieved_tflops = flops_per_step / step_s / n_chips / 1e12
+    mfu = achieved_tflops / chip_peak_tflops()
+
+    result = {
+        "metric": "wav2vec2-315M CTC finetune throughput",
+        "value": round(throughput_per_chip, 2),
+        "unit": "audio-sec/sec/chip",
+        "vs_baseline": round(
+            throughput_per_chip / A100_REFERENCE_AUDIO_SEC_PER_SEC, 3
+        ),
+        "step_ms": round(step_s * 1000, 1),
+        "tflops_per_chip": round(achieved_tflops, 1),
+        "mfu": round(mfu, 3),
+        "peak_tflops": chip_peak_tflops(),
+    }
+    result.update(bench_whisper())
+    print(json.dumps(result))
+
+
+def bench_whisper() -> dict:
+    """whisper-small step + generation throughput (extra JSON keys so the
+    driver records regressions there too; VERDICT round 2, weak #6)."""
+    from coral_tpu.models.whisper import (
+        WhisperConfig,
+        beam_generate,
+        greedy_generate,
+        init_whisper_params,
+    )
+    from coral_tpu.parallel import batch_sharding, create_mesh, replicated
+    from coral_tpu.training import TrainState, create_optimizer
+    from coral_tpu.training.train_state import make_seq2seq_train_step
+
+    out: dict = {}
+    mesh = create_mesh()
+    cfg = WhisperConfig.small(dtype=jnp.bfloat16)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    rng_np = np.random.default_rng(0)
+
+    # --- generation (greedy and beam=5), the eval-loop bottleneck ---
+    # (before the train-step bench: that one donates the params)
+    B = 16
+    feats = jnp.asarray(
+        rng_np.standard_normal((B, 3000, cfg.num_mel_bins)), jnp.float32
+    )
+    forced = jnp.asarray(
+        [cfg.vocab_size - 10, cfg.vocab_size - 8, cfg.vocab_size - 7],
+        jnp.int32,
+    )
+    MAXLEN = 196
+    eos = cfg.vocab_size - 9
+
+    def timed(fn, tag):
+        run = jax.jit(fn)
+        ids = run(params, feats)
+        np.asarray(ids)  # sync
+        t0 = time.perf_counter()
+        reps = 3
+        for _ in range(reps):
+            ids = run(params, feats)
+        np.asarray(ids)
+        el = (time.perf_counter() - t0) / reps
+        out[f"whisper_generate_{tag}_ms"] = round(el * 1000, 1)
+        out[f"whisper_generate_{tag}_audio_sec_per_sec"] = round(
+            B * 30 / el, 1
+        )
+        out[f"whisper_generate_{tag}_tokens_per_sec"] = round(
+            B * (MAXLEN - len(forced)) / el, 1
+        )
+        return el
+
+    el_greedy = timed(
+        lambda p, f: greedy_generate(
+            p, cfg, f, forced, max_length=MAXLEN, eos_id=eos
+        ),
+        "greedy",
+    )
+    el_beam = timed(
+        lambda p, f: beam_generate(
+            p, cfg, f, forced, max_length=MAXLEN, eos_id=eos, num_beams=5
+        ),
+        "beam5",
+    )
+    out["beam5_vs_greedy_latency"] = round(el_beam / el_greedy, 2)
+
+    # --- fine-tune step ---
+    tx, schedule = create_optimizer(
+        learning_rate=1e-5, warmup_steps=100, max_steps=100_000,
+        mu_dtype="bfloat16",
+    )
+    state = TrainState.create(params, tx)
+    step = make_seq2seq_train_step(
+        cfg, tx, schedule, sot_id=cfg.vocab_size - 10,
+        pad_id=cfg.vocab_size - 9, chunk_length=30 * SR,
+        gradient_checkpointing=True,
+    )
+    state_sh = jax.tree.map(lambda _: replicated(mesh), state)
+    data_sh = batch_sharding(mesh, axis=1)
+    batch_sh = {k: data_sh for k in
+                ("input_values", "input_lengths", "labels", "label_lengths")}
+    jitted = jax.jit(
+        step, in_shardings=(state_sh, batch_sh, replicated(mesh)),
+        out_shardings=(state_sh, None), donate_argnums=(0,),
+    )
+    B, T, L = 16, 30 * SR, 128
+    batch = jax.device_put({
+        "input_values": rng_np.standard_normal((1, B, T)).astype(np.float32),
+        "input_lengths": np.full((1, B), T, np.int32),
+        "labels": rng_np.integers(
+            0, cfg.vocab_size - 20, size=(1, B, L)
+        ).astype(np.int32),
+        "label_lengths": np.full((1, B), L, np.int32),
+    }, batch_sh)
+    state = jax.device_put(state, state_sh)
+    for i in range(2):
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(i))
+    float(metrics["loss"])
+    t0 = time.perf_counter()
+    steps = 6
+    for i in range(steps):
+        state, metrics = jitted(state, batch, jax.random.PRNGKey(100 + i))
+    float(metrics["loss"])
+    el = time.perf_counter() - t0
+    out["whisper_small_step_ms"] = round(el / steps * 1000, 1)
+    out["whisper_small_audio_sec_per_sec"] = round(steps * B * 30 / el, 1)
+    return out
 
 
 if __name__ == "__main__":

@@ -877,6 +877,10 @@ def _ancestor_decode_step(
 
     Args:
         tokens: (B*K,) current input token ids.
+        cross_kv: per-layer cross K/V for the ORIGINAL batch (L, B, S, H,
+            Dh) — beams share them; attention broadcasts over K instead of
+            materialising a repeat (a (L, B*K, S, H, Dh) copy pads 2.7x on
+            TPU and OOMs at whisper-small B=16 K=5).
         ancestors: (B, K, max_len) int32 slot indices; invariant:
             ``ancestors[b, k, pos] == k`` on entry (each slot writes its own
             KV row at ``pos``).
@@ -940,7 +944,17 @@ def _ancestor_decode_step(
         h = _layer_norm(lp["encoder_attn_layer_norm"], x)
         q = _split_heads(_dense(lp["encoder_attn"]["q_proj"], h, dtype),
                          n_heads)
-        a = jax.nn.dot_product_attention(q, cross_k, cross_v)
+        # Beams share the cross K/V: broadcast over K inside the einsum.
+        qc = q.reshape(B, K, n_heads, head_dim)
+        sc = jnp.einsum(
+            "bkhd,bshd->bhks", qc, cross_k,
+            preferred_element_type=jnp.float32,
+        ) * scale
+        wc = jax.nn.softmax(sc, axis=-1)
+        a = jnp.einsum(
+            "bhks,bshd->bkhd", wc, cross_v,
+            preferred_element_type=jnp.float32,
+        ).astype(dtype).reshape(B * K, 1, n_heads, head_dim)
         x = x + _dense(lp["encoder_attn"]["out_proj"], _merge_heads(a), dtype)
 
         h = _layer_norm(lp["final_layer_norm"], x)
@@ -1011,10 +1025,7 @@ def beam_generate(
     penalty = jnp.asarray(length_penalty, jnp.float32)
 
     encoder_out = encode(params, config, input_features, deterministic=True)
-    cross_k, cross_v = precompute_cross_kv(params, config, encoder_out)
-    cross_kv = (
-        jnp.repeat(cross_k, K, axis=1), jnp.repeat(cross_v, K, axis=1)
-    )
+    cross_kv = precompute_cross_kv(params, config, encoder_out)
     cache0 = init_self_cache(config, B * K, max_length)
 
     tokens0 = jnp.full((B * K,), forced_ids[0], dtype=jnp.int32)
