@@ -104,11 +104,13 @@ def main() -> None:
     n_chips = len(devices)
     mesh = create_mesh()
 
-    # Winning v5e configuration (tools/bench_config.py sweep, round 2):
+    # Winning v5e configuration (tools/bench_config.py sweeps, rounds 2-3):
     # pallas short-T attention (lane-sliced heads, no layout copies) +
-    # save-matmul-inputs remat + rematted feature encoder + fused dropout +
-    # bf16 first Adam moment + fused GELU+dropout + fused feature-encoder
-    # LayerNorm+GELU: 537 -> 764 audio-s/s/chip at B=32.
+    # save-matmul-inputs remat + fused dropout + bf16 first Adam moment +
+    # fused GELU+dropout + fused feature-encoder LayerNorm+GELU: 537 -> 764
+    # audio-s/s/chip at B=32 (round 2). Round 3: feature-encoder remat OFF
+    # (the memory the round-2 kernels freed now covers the conv
+    # intermediates; skipping the conv re-forward is worth ~+12 a/s/s).
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas"
     )
@@ -116,7 +118,7 @@ def main() -> None:
         config,
         gradient_checkpointing=True,
         remat_policy="save_matmul_inputs",
-        remat_feature_encoder=True,
+        remat_feature_encoder=False,
     )
 
     rng = jax.random.PRNGKey(0)
