@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax.ad_checkpoint import checkpoint_name
 
+from ..ops.decode_attention import (
+    decode_cross_attention,
+    decode_self_attention,
+)
+
 # Remat policies for the layer scans. "save_matmul_inputs" stores exactly the
 # inputs of the big matmuls per layer (LN outputs, q/k/v, attention context,
 # FFN pre-activation input) so backward recomputes only the attention kernel
@@ -550,14 +555,19 @@ def forward(
 def precompute_cross_kv(
     params: dict, config: WhisperConfig, encoder_out: jnp.ndarray
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Cross-attention K/V for every decoder layer: (L, B, S, H, Dh) each."""
+    """Cross-attention K/V for every decoder layer: (L, B, S, H*Dh) each.
+
+    Heads stay FLAT on the last axis: a (..., S, H, Dh) layout tiles the
+    (12, 64) minor dims at 2.7x on TPU, so the decode loop — which streams
+    these tensors every step — would read 2.7x the bytes. The decode
+    kernels (``ops/decode_attention.py``) slice heads on the lane axis.
+    """
     dtype = config.dtype
-    n_heads = config.decoder_attention_heads
 
     def per_layer(lp):
         h = encoder_out
-        k = _split_heads(_dense(lp["encoder_attn"]["k_proj"], h, dtype), n_heads)
-        v = _split_heads(_dense(lp["encoder_attn"]["v_proj"], h, dtype), n_heads)
+        k = _dense(lp["encoder_attn"]["k_proj"], h, dtype)
+        v = _dense(lp["encoder_attn"]["v_proj"], h, dtype)
         return k, v
 
     return jax.vmap(per_layer)(params["decoder"]["layers"])
@@ -566,10 +576,11 @@ def precompute_cross_kv(
 def init_self_cache(
     config: WhisperConfig, batch: int, max_len: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Zeroed self-attention KV cache: (L, B, max_len, H, Dh) x 2."""
+    """Zeroed self-attention KV cache: (L, B, max_len, H*Dh) x 2 (flat
+    heads — see :func:`precompute_cross_kv`)."""
     shape = (
         config.decoder_layers, batch, max_len,
-        config.decoder_attention_heads, config.head_dim,
+        config.decoder_attention_heads * config.head_dim,
     )
     return (jnp.zeros(shape, config.dtype), jnp.zeros(shape, config.dtype))
 
@@ -581,50 +592,64 @@ def decode_step(
     pos: jnp.ndarray,
     self_cache: tuple[jnp.ndarray, jnp.ndarray],
     cross_kv: tuple[jnp.ndarray, jnp.ndarray],
+    onehot: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
-    """One decode position for the whole batch.
+    """One decode position for the whole batch (all beams, when beamed).
 
     Args:
-        tokens: (B,) current input token ids.
+        tokens: (B*K,) current input token ids (K=1 for greedy).
         pos: scalar int32 position.
-        self_cache: (L, B, max_len, H, Dh) keys/values (filled up to ``pos``).
-        cross_kv: per-layer cross K/V from :func:`precompute_cross_kv`.
+        self_cache: (L, B*K, max_len, H*Dh) keys/values (filled to ``pos``).
+        cross_kv: per-layer (L, B, S, H*Dh) cross K/V from
+            :func:`precompute_cross_kv`; the K beams of a batch item share
+            them (no per-beam repeat is ever materialised).
+        onehot: optional (B, K, K*max_len) slot-selection mask for beam
+            search (ancestor chains x causal bound); None means greedy —
+            a plain causal mask is built here.
 
     Returns:
-        ((B, vocab) logits for the next token, updated cache).
+        ((B*K, vocab) logits for the next token, updated cache).
     """
     p = params["decoder"]
     dtype = config.dtype
     n_heads = config.decoder_attention_heads
     cache_k, cache_v = self_cache
     max_len = cache_k.shape[2]
+    BK = tokens.shape[0]
+
+    if onehot is None:
+        onehot = jnp.broadcast_to(
+            (jnp.arange(max_len) <= pos)[None, None, :].astype(jnp.float32),
+            (BK, 1, max_len),
+        )
 
     x = jnp.take(jnp.asarray(p["embed_tokens"]), tokens, axis=0).astype(dtype)
-    x = x[:, None, :]  # (B, 1, D)
+    x = x[:, None, :]  # (B*K, 1, D)
     x = x + jax.lax.dynamic_slice_in_dim(
         jnp.asarray(p["embed_positions"]), pos, 1, axis=0
     ).astype(dtype)
 
-    # position mask over the cache: attend to slots <= pos
-    keep = (jnp.arange(max_len) <= pos)[None, None, None, :]  # (1,1,1,max_len)
-
     def layer(x, inputs):
         lp, layer_ck, layer_cv, cross_k, cross_v = inputs
         h = _layer_norm(lp["self_attn_layer_norm"], x)
-        q = _split_heads(_dense(lp["self_attn"]["q_proj"], h, dtype), n_heads)
-        k_new = _split_heads(_dense(lp["self_attn"]["k_proj"], h, dtype), n_heads)
-        v_new = _split_heads(_dense(lp["self_attn"]["v_proj"], h, dtype), n_heads)
-        layer_ck = jax.lax.dynamic_update_slice_in_dim(layer_ck, k_new, pos, axis=1)
-        layer_cv = jax.lax.dynamic_update_slice_in_dim(layer_cv, v_new, pos, axis=1)
-        attn = jax.nn.dot_product_attention(
-            q, layer_ck, layer_cv, mask=keep
+        q = _dense(lp["self_attn"]["q_proj"], h, dtype)[:, 0, :]
+        k_new = _dense(lp["self_attn"]["k_proj"], h, dtype)
+        v_new = _dense(lp["self_attn"]["v_proj"], h, dtype)
+        layer_ck = jax.lax.dynamic_update_slice_in_dim(
+            layer_ck, k_new, pos, axis=1
         )
-        x = x + _dense(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
+        layer_cv = jax.lax.dynamic_update_slice_in_dim(
+            layer_cv, v_new, pos, axis=1
+        )
+        attn = decode_self_attention(
+            q, layer_ck, layer_cv, onehot, n_heads
+        )
+        x = x + _dense(lp["self_attn"]["out_proj"], attn[:, None, :], dtype)
 
         h = _layer_norm(lp["encoder_attn_layer_norm"], x)
-        q = _split_heads(_dense(lp["encoder_attn"]["q_proj"], h, dtype), n_heads)
-        attn = jax.nn.dot_product_attention(q, cross_k, cross_v)
-        x = x + _dense(lp["encoder_attn"]["out_proj"], _merge_heads(attn), dtype)
+        qc = _dense(lp["encoder_attn"]["q_proj"], h, dtype)[:, 0, :]
+        a = decode_cross_attention(qc, cross_k, cross_v, n_heads)
+        x = x + _dense(lp["encoder_attn"]["out_proj"], a[:, None, :], dtype)
 
         h = _layer_norm(lp["final_layer_norm"], x)
         h = jax.nn.gelu(_dense(lp["fc1"], h, dtype), approximate=False)
@@ -856,122 +881,6 @@ def segments_from_tokens(
 # --------------------------------------------------------------------------------
 
 
-def _ancestor_decode_step(
-    params: dict,
-    config: WhisperConfig,
-    tokens: jnp.ndarray,
-    pos: jnp.ndarray,
-    self_cache: tuple[jnp.ndarray, jnp.ndarray],
-    cross_kv: tuple[jnp.ndarray, jnp.ndarray],
-    ancestors: jnp.ndarray,
-) -> tuple[jnp.ndarray, tuple[jnp.ndarray, jnp.ndarray]]:
-    """One decode position for B*K beam rows with index-chain cache sharing.
-
-    Instead of physically reordering the KV cache when beams reorder (a full
-    (L, B*K, max_len, H, Dh) gather per emitted token — O(max_len^2) HBM
-    traffic over a decode), each beam carries an ancestor table
-    ``ancestors[b, k, t]`` naming the beam slot whose cache row holds its
-    key/value for position ``t``. Attention scores against ALL K slots (a
-    K-fold wider, still tiny, MXU contraction) and a one-hot selection keeps
-    each beam's own history — the cache is written once and never moved.
-
-    Args:
-        tokens: (B*K,) current input token ids.
-        cross_kv: per-layer cross K/V for the ORIGINAL batch (L, B, S, H,
-            Dh) — beams share them; attention broadcasts over K instead of
-            materialising a repeat (a (L, B*K, S, H, Dh) copy pads 2.7x on
-            TPU and OOMs at whisper-small B=16 K=5).
-        ancestors: (B, K, max_len) int32 slot indices; invariant:
-            ``ancestors[b, k, pos] == k`` on entry (each slot writes its own
-            KV row at ``pos``).
-
-    Returns:
-        ((B*K, vocab) logits, updated cache).
-    """
-    p = params["decoder"]
-    dtype = config.dtype
-    n_heads = config.decoder_attention_heads
-    head_dim = config.head_dim
-    cache_k, cache_v = self_cache
-    max_len = cache_k.shape[2]
-    B, K = ancestors.shape[0], ancestors.shape[1]
-
-    x = jnp.take(jnp.asarray(p["embed_tokens"]), tokens, axis=0).astype(dtype)
-    x = x[:, None, :]  # (B*K, 1, D)
-    x = x + jax.lax.dynamic_slice_in_dim(
-        jnp.asarray(p["embed_positions"]), pos, 1, axis=0
-    ).astype(dtype)
-
-    # One-hot over source slots, shared by every layer: (B, K, T, K_src).
-    onehot = (
-        ancestors[:, :, :, None] == jnp.arange(K)[None, None, None, :]
-    ).astype(jnp.float32)
-    keep = (jnp.arange(max_len) <= pos)[None, None, None, :]  # (1,1,1,T)
-    scale = head_dim ** -0.5
-
-    def layer(x, inputs):
-        lp, layer_ck, layer_cv, cross_k, cross_v = inputs
-        h = _layer_norm(lp["self_attn_layer_norm"], x)
-        q = _split_heads(_dense(lp["self_attn"]["q_proj"], h, dtype), n_heads)
-        k_new = _split_heads(
-            _dense(lp["self_attn"]["k_proj"], h, dtype), n_heads
-        )
-        v_new = _split_heads(
-            _dense(lp["self_attn"]["v_proj"], h, dtype), n_heads
-        )
-        layer_ck = jax.lax.dynamic_update_slice_in_dim(
-            layer_ck, k_new, pos, axis=1
-        )
-        layer_cv = jax.lax.dynamic_update_slice_in_dim(
-            layer_cv, v_new, pos, axis=1
-        )
-
-        qb = q.reshape(B, K, n_heads, head_dim)
-        kb = layer_ck.reshape(B, K, max_len, n_heads, head_dim)
-        vb = layer_cv.reshape(B, K, max_len, n_heads, head_dim)
-        s = jnp.einsum(
-            "bqhd,bjthd->bqhtj", qb, kb, preferred_element_type=jnp.float32
-        )
-        s = jnp.sum(s * onehot[:, :, None, :, :], axis=-1) * scale  # (B,K,H,T)
-        s = jnp.where(keep, s, -jnp.inf)
-        w = jax.nn.softmax(s, axis=-1)
-        wsel = w[:, :, :, :, None] * onehot[:, :, None, :, :]  # (B,K,H,T,J)
-        attn = jnp.einsum(
-            "bqhtj,bjthd->bqhd", wsel, vb, preferred_element_type=jnp.float32
-        ).astype(dtype).reshape(B * K, 1, n_heads, head_dim)
-        x = x + _dense(lp["self_attn"]["out_proj"], _merge_heads(attn), dtype)
-
-        h = _layer_norm(lp["encoder_attn_layer_norm"], x)
-        q = _split_heads(_dense(lp["encoder_attn"]["q_proj"], h, dtype),
-                         n_heads)
-        # Beams share the cross K/V: broadcast over K inside the einsum.
-        qc = q.reshape(B, K, n_heads, head_dim)
-        sc = jnp.einsum(
-            "bkhd,bshd->bhks", qc, cross_k,
-            preferred_element_type=jnp.float32,
-        ) * scale
-        wc = jax.nn.softmax(sc, axis=-1)
-        a = jnp.einsum(
-            "bhks,bshd->bkhd", wc, cross_v,
-            preferred_element_type=jnp.float32,
-        ).astype(dtype).reshape(B * K, 1, n_heads, head_dim)
-        x = x + _dense(lp["encoder_attn"]["out_proj"], _merge_heads(a), dtype)
-
-        h = _layer_norm(lp["final_layer_norm"], x)
-        h = jax.nn.gelu(_dense(lp["fc1"], h, dtype), approximate=False)
-        x = x + _dense(lp["fc2"], h, dtype)
-        return x, (layer_ck, layer_cv)
-
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (p["layers"], cache_k, cache_v, cross_kv[0], cross_kv[1])
-    )
-    x = _layer_norm(p["layer_norm"], x)
-    logits = x[:, 0, :].astype(jnp.float32) @ p["embed_tokens"].T.astype(
-        jnp.float32
-    )
-    return logits, (new_k, new_v)
-
-
 def beam_generate(
     params: dict,
     config: WhisperConfig,
@@ -1003,8 +912,9 @@ def beam_generate(
     ``tests/test_hf_generation_parity.py``.
 
     The KV cache is never reordered: beams carry ancestor index chains
-    resolved inside attention (:func:`_ancestor_decode_step`), replacing
-    the per-step O(max_len) cache gather with O(1) index bookkeeping.
+    resolved inside the decode attention kernel through a slot-selection
+    mask (``ops/decode_attention.py``), replacing the per-step O(max_len)
+    cache gather with O(1) index bookkeeping.
 
     Returns:
         (B, max_length) best sequences, prompt included, EOS-padded.
@@ -1063,8 +973,15 @@ def beam_generate(
     def body(carry):
         (pos, tokens, run_seq, run_scores, fin_seq, fin_scores,
          is_fin, unsat, hits, anc, cache) = carry
-        logits, new_cache = _ancestor_decode_step(
-            params, config, tokens, pos, cache, cross_kv, anc
+        # Slot-selection mask from the ancestor chains: beam k of batch b
+        # may attend slot j at position t iff its history there lives in j
+        # (and t <= pos). Layer-independent — built once per step.
+        onehot = (
+            (anc[:, :, None, :] == jnp.arange(K)[None, None, :, None])
+            & (jnp.arange(max_length)[None, None, None, :] <= pos)
+        ).reshape(B, K, K * max_length).astype(jnp.float32)
+        logits, new_cache = decode_step(
+            params, config, tokens, pos, cache, cross_kv, onehot
         )  # (B*K, V)
 
         def forced_branch(_):

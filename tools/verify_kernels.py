@@ -214,6 +214,47 @@ def verify_flash():
         check(f"backward {name}", a, b, atol=1.0, rtol=3e-2)
 
 
+def verify_decode_attention():
+    """Decode self/cross attention kernels (flat-head cache layout) vs the
+    off-TPU jnp composition they are pinned to."""
+    from coral_tpu.ops.decode_attention import (
+        decode_cross_attention,
+        decode_self_attention,
+    )
+
+    print("decode_attention (whisper decode):")
+    rng = np.random.default_rng(6)
+    B, K, T, H, d = 4, 5, 196, 12, 64
+    HD = H * d
+    pos = 77
+    q = jnp.asarray(rng.standard_normal((B * K, HD)), jnp.bfloat16)
+    ck = jnp.asarray(rng.standard_normal((B * K, T, HD)), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal((B * K, T, HD)), jnp.bfloat16)
+    anc = rng.integers(0, K, size=(B, K, T))
+    oh = (
+        (anc[:, :, None, :] == np.arange(K)[None, None, :, None])
+        & (np.arange(T)[None, None, None, :] <= pos)
+    ).reshape(B, K, K * T).astype(np.float32)
+    oh = jnp.asarray(oh)
+
+    got = jax.jit(
+        lambda q, ck, cv, oh: decode_self_attention(
+            q, ck, cv, oh, H, interpret=False
+        )
+    )(q, ck, cv, oh)
+    want = decode_self_attention(q, ck, cv, oh, H, interpret=True)
+    check("self fwd (beamed mask)", got, want, atol=3e-2)
+
+    S = 1500
+    kk = jnp.asarray(rng.standard_normal((B, S, HD)), jnp.bfloat16)
+    vv = jnp.asarray(rng.standard_normal((B, S, HD)), jnp.bfloat16)
+    got = jax.jit(
+        lambda q, kk, vv: decode_cross_attention(q, kk, vv, H, interpret=False)
+    )(q, kk, vv)
+    want = decode_cross_attention(q, kk, vv, H, interpret=True)
+    check("cross fwd (shared KV)", got, want, atol=3e-2)
+
+
 def main():
     if jax.default_backend() != "tpu":
         print("ERROR: no TPU attached — this tool verifies Mosaic lowering.")
@@ -224,6 +265,7 @@ def main():
     verify_gelu_dropout()
     verify_ctc()
     verify_flash()
+    verify_decode_attention()
     print(f"\n{len(PASS)} passed, {len(FAIL)} failed"
           + (f": {FAIL}" if FAIL else ""))
     return 1 if FAIL else 0
