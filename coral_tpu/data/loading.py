@@ -33,6 +33,15 @@ def is_main_process() -> bool:
     return os.getenv("RANK", "0") == "0"
 
 
+def _parse_synthetic_id(dataset_id: str) -> tuple[int, bool]:
+    """``synthetic://N`` or ``synthetic://spelled:N`` (per-character tone
+    audio with a learnable alignment — see ``synthetic.synth_spelled_audio``)."""
+    tail = dataset_id.split("://")[1]
+    if tail.startswith("spelled:"):
+        return int(tail.split(":", 1)[1]), True
+    return int(tail), False
+
+
 def _rename_columns(example: dict, text_column: str, audio_column: str) -> dict:
     out = dict(example)
     if text_column != "text" and text_column in out:
@@ -55,18 +64,20 @@ def make_raw_source(
     Supports ``synthetic://N`` ids, local arrow paths, and HF Hub ids.
     """
     if dataset_id.startswith("synthetic://"):
-        n = int(dataset_id.split("://")[1])
+        n, spelled = _parse_synthetic_id(dataset_id)
         # Generate once, reshuffle per epoch: per-clip host DSP re-run every
         # epoch was costing ~40% of end-to-end train throughput at B=64 on
         # the synthetic benchmark source.
-        cache: dict[tuple[int, int], list] = {}
+        cache: dict[tuple[int, int, bool], list] = {}
 
         def synthetic_factory(epoch: int = 0) -> Iterable[dict]:
             import numpy as np
 
-            key = (n, seed)
+            key = (n, seed, spelled)
             if key not in cache:
-                cache[key] = make_synthetic_examples(n=n, seed=seed)
+                cache[key] = make_synthetic_examples(
+                    n=n, seed=seed, spelled=spelled
+                )
             examples = cache[key]
             order = np.random.default_rng(seed + epoch).permutation(len(examples))
             return [examples[i] for i in order]
@@ -307,10 +318,12 @@ def load_dataset_for_evaluation(config: Any) -> SourceFactory:
             yield out
 
     if dataset_id.startswith("synthetic://"):
-        n = int(dataset_id.split("://")[1])
+        n, spelled = _parse_synthetic_id(dataset_id)
 
         def synthetic_factory() -> Iterator[dict]:
-            return postprocess(make_synthetic_examples(n=n, seed=0))
+            return postprocess(
+                make_synthetic_examples(n=n, seed=0, spelled=spelled)
+            )
 
         return synthetic_factory
 

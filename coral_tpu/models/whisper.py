@@ -614,8 +614,8 @@ def decode_step(
     dtype = config.dtype
     n_heads = config.decoder_attention_heads
     cache_k, cache_v = self_cache
-    max_len = cache_k.shape[2]
-    BK = tokens.shape[0]
+    n_layers, BK, max_len, _ = cache_k.shape
+    cross_k, cross_v = cross_kv
 
     if onehot is None:
         onehot = jnp.broadcast_to(
@@ -629,35 +629,44 @@ def decode_step(
         jnp.asarray(p["embed_positions"]), pos, 1, axis=0
     ).astype(dtype)
 
-    def layer(x, inputs):
-        lp, layer_ck, layer_cv, cross_k, cross_v = inputs
+    # The caches travel WHOLE through the layer scan (carry, not xs/ys):
+    # scanning over a stacked cache makes XLA materialise a per-layer slice
+    # before the attention kernel and stitch the update back after it, plus
+    # a full-cache copy per step for the restacked ys (measured ~1.1 s of a
+    # 1.9 s whisper-small beam decode). Instead the new K/V rows go in with
+    # one dynamic_update_slice on the stacked array and the kernels read
+    # their layer via a scalar-prefetch block index.
+    def layer(carry, inputs):
+        x, cache_k, cache_v = carry
+        lp, lidx = inputs
         h = _layer_norm(lp["self_attn_layer_norm"], x)
         q = _dense(lp["self_attn"]["q_proj"], h, dtype)[:, 0, :]
-        k_new = _dense(lp["self_attn"]["k_proj"], h, dtype)
+        k_new = _dense(lp["self_attn"]["k_proj"], h, dtype)  # (BK, 1, HD)
         v_new = _dense(lp["self_attn"]["v_proj"], h, dtype)
-        layer_ck = jax.lax.dynamic_update_slice_in_dim(
-            layer_ck, k_new, pos, axis=1
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k_new[None], (lidx, 0, pos, 0)
         )
-        layer_cv = jax.lax.dynamic_update_slice_in_dim(
-            layer_cv, v_new, pos, axis=1
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v_new[None], (lidx, 0, pos, 0)
         )
         attn = decode_self_attention(
-            q, layer_ck, layer_cv, onehot, n_heads
+            q, cache_k, cache_v, onehot, n_heads, lidx
         )
         x = x + _dense(lp["self_attn"]["out_proj"], attn[:, None, :], dtype)
 
         h = _layer_norm(lp["encoder_attn_layer_norm"], x)
         qc = _dense(lp["encoder_attn"]["q_proj"], h, dtype)[:, 0, :]
-        a = decode_cross_attention(qc, cross_k, cross_v, n_heads)
+        a = decode_cross_attention(qc, cross_k, cross_v, n_heads, lidx)
         x = x + _dense(lp["encoder_attn"]["out_proj"], a[:, None, :], dtype)
 
         h = _layer_norm(lp["final_layer_norm"], x)
         h = jax.nn.gelu(_dense(lp["fc1"], h, dtype), approximate=False)
         x = x + _dense(lp["fc2"], h, dtype)
-        return x, (layer_ck, layer_cv)
+        return (x, cache_k, cache_v), None
 
-    x, (new_k, new_v) = jax.lax.scan(
-        layer, x, (p["layers"], cache_k, cache_v, cross_kv[0], cross_kv[1])
+    (x, new_k, new_v), _ = jax.lax.scan(
+        layer, (x, cache_k, cache_v),
+        (p["layers"], jnp.arange(n_layers, dtype=jnp.int32)),
     )
     x = _layer_norm(p["layer_norm"], x)
     logits = x[:, 0, :].astype(jnp.float32) @ p["embed_tokens"].T.astype(

@@ -1,13 +1,19 @@
 """Decode-step attention kernels over flat (T, H*Dh) KV layouts (Pallas TPU).
 
 Autoregressive whisper decoding reads the whole self-attention cache and the
-cross-attention K/V every step. With the natural (..., T, H, Dh) layout the
-TPU tiles the (H=12, Dh=64) minor dims at (8, 128) and pads them 2.7x — so
-every decode step streams 2.7x the bytes (the decode loop is pure HBM
-bandwidth). These kernels keep K/V flat as (T, H*Dh) — which tiles at ~1.0x —
-and slice heads on the lane axis in VMEM (the trick validated by
-``ops/attention_pallas.py``: lane slices of (T, H*d) lower fine where
-head-dim slicing of (T, H, d) does not).
+cross-attention K/V every step. Two layout/structure sins make the naive
+XLA formulation ~2x slower than the bandwidth floor:
+
+- a (..., T, H, Dh) layout tiles the (12, 64) minor dims at (8, 128) and
+  pads them 2.7x — every decode step streams 2.7x the bytes. These kernels
+  keep K/V flat as (T, H*Dh) — which tiles at ~1.0x — and slice heads on
+  the lane axis in VMEM (the trick validated by ``ops/attention_pallas.py``);
+- scanning the decoder layers over stacked (L, ...) caches makes XLA
+  materialise a per-layer slice before the attention op and stitch the
+  update back afterwards (measured ~770 ms of a 1.9 s whisper-small beam
+  decode). These kernels instead take the FULL stacked cache plus the layer
+  index as a scalar-prefetch operand — the block index map reads the right
+  layer slab directly out of HBM, no slice, no restitch.
 
 Beam search folds its ancestor index chains into the same kernels: the score
 mask ``onehot[b, k, j*T + t]`` selects, for query beam k, exactly the cache
@@ -28,6 +34,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -47,11 +54,12 @@ def _head_groups(HD: int, head_dim: int, slab_rows: int, itemsize: int,
     return candidates[-1]
 
 
-def _self_kernel(q_ref, k_ref, v_ref, oh_ref, o_ref, *, head_dim: int,
-                 scale: float):
-    _, K, T, HDg = k_ref.shape
-    kf = k_ref[0].reshape(K * T, HDg)
-    vf = v_ref[0].reshape(K * T, HDg)
+def _self_kernel(lidx_ref, q_ref, k_ref, v_ref, oh_ref, o_ref, *,
+                 head_dim: int, scale: float):
+    del lidx_ref  # consumed by the index maps
+    _, _, K, T, HDg = k_ref.shape
+    kf = k_ref[0, 0].reshape(K * T, HDg)
+    vf = v_ref[0, 0].reshape(K * T, HDg)
     q = q_ref[0]  # (K, HDg)
     oh = oh_ref[0]  # (K, K*T)
     for h in range(HDg // head_dim):
@@ -69,9 +77,11 @@ def _self_kernel(q_ref, k_ref, v_ref, oh_ref, o_ref, *, head_dim: int,
         o_ref[0, :, lanes] = o.astype(o_ref.dtype)
 
 
-def _cross_kernel(q_ref, k_ref, v_ref, o_ref, *, head_dim: int, scale: float):
-    kf = k_ref[0]  # (S, HDg)
-    vf = v_ref[0]
+def _cross_kernel(lidx_ref, q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
+                  scale: float):
+    del lidx_ref
+    kf = k_ref[0, 0]  # (S, HDg)
+    vf = v_ref[0, 0]
     q = q_ref[0]  # (K, HDg)
     for h in range(kf.shape[1] // head_dim):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
@@ -93,24 +103,27 @@ def decode_self_attention(
     cache_v: jnp.ndarray,
     onehot: jnp.ndarray,
     n_heads: int,
+    layer: jnp.ndarray,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
-    """One-token self-attention over a flat cache, with slot selection.
+    """One-token self-attention over one layer of a stacked flat cache.
 
     Args:
         q: (B*K, HD) current-position queries.
-        cache_k, cache_v: (B*K, T, HD) caches (valid entries wherever
-            ``onehot`` admits them).
+        cache_k, cache_v: (L, B*K, T, HD) stacked caches; only ``layer`` is
+            read — via a scalar-prefetch block index, so no (B*K, T, HD)
+            slice is ever materialised.
         onehot: (B, K, K*T) 0/1 mask — query beam k of batch b may attend
             cache slot j at position t iff ``onehot[b, k, j*T + t] == 1``.
             Encodes both the ancestor chain and the causal bound. For K=1
             this is just the causal mask.
         n_heads: head count (HD = n_heads * head_dim).
+        layer: scalar int32 layer index.
 
     Returns:
         (B*K, HD) attention outputs, dtype of ``q``.
     """
-    BK, T, HD = cache_k.shape
+    L, BK, T, HD = cache_k.shape
     B, K, KT = onehot.shape
     assert BK == B * K and KT == K * T
     head_dim = HD // n_heads
@@ -118,9 +131,11 @@ def decode_self_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if interpret:
+        kl = jax.lax.dynamic_index_in_dim(cache_k, layer, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(cache_v, layer, 0, keepdims=False)
         qh = q.reshape(B, K, n_heads, head_dim)
-        kh = cache_k.reshape(B, K, T, n_heads, head_dim)
-        vh = cache_v.reshape(B, K, T, n_heads, head_dim)
+        kh = kl.reshape(B, K, T, n_heads, head_dim)
+        vh = vl.reshape(B, K, T, n_heads, head_dim)
         s = jnp.einsum(
             "bkhd,bjthd->bkhjt", qh, kh, preferred_element_type=jnp.float32
         ) * scale
@@ -134,24 +149,29 @@ def decode_self_attention(
         return o.reshape(B * K, HD).astype(q.dtype)
 
     G = _head_groups(HD, head_dim, K * T, cache_k.dtype.itemsize, 2)
-    grid = (B, G)
     # Leading-dim splits (free metadata reshapes) give blocks whose last two
     # dims equal the array dims — the Mosaic block-shape requirement for the
     # non-8-aligned K axis.
     q3 = q.reshape(B, K, HD)
-    k4 = cache_k.reshape(B, K, T, HD)
-    v4 = cache_v.reshape(B, K, T, HD)
-    q_spec = pl.BlockSpec((1, K, HD // G), lambda b, g: (b, 0, g))
-    kv_spec = pl.BlockSpec((1, K, T, HD // G), lambda b, g: (b, 0, 0, g))
-    oh_spec = pl.BlockSpec((1, K, KT), lambda b, g: (b, 0, 0))
-    out = pl.pallas_call(
-        functools.partial(_self_kernel, head_dim=head_dim, scale=scale),
-        grid=grid,
+    k5 = cache_k.reshape(L, B, K, T, HD)
+    v5 = cache_v.reshape(L, B, K, T, HD)
+    q_spec = pl.BlockSpec((1, K, HD // G), lambda b, g, lref: (b, 0, g))
+    kv_spec = pl.BlockSpec(
+        (1, 1, K, T, HD // G), lambda b, g, lref: (lref[0], b, 0, 0, g)
+    )
+    oh_spec = pl.BlockSpec((1, K, KT), lambda b, g, lref: (b, 0, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G),
         in_specs=[q_spec, kv_spec, kv_spec, oh_spec],
         out_specs=q_spec,
+    )
+    out = pl.pallas_call(
+        functools.partial(_self_kernel, head_dim=head_dim, scale=scale),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=interpret,
-    )(q3, k4, v4, onehot)
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), q3, k5, v5, onehot)
     return out.reshape(B * K, HD)
 
 
@@ -160,21 +180,23 @@ def decode_cross_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     n_heads: int,
+    layer: jnp.ndarray,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """One-token cross-attention; the K beams of each batch item share K/V.
 
     Args:
         q: (B*K, HD) queries.
-        k, v: (B, S, HD) encoder K/V (NOT repeated per beam — the kernel
-            broadcasts, so the 2.7x-padded (B*K, S, H, Dh) copy the naive
-            layout needs never exists).
+        k, v: (L, B, S, HD) stacked per-layer encoder K/V (NOT repeated per
+            beam, NOT sliced per layer — the scalar-prefetch block index
+            reads layer ``layer`` directly).
         n_heads: head count.
+        layer: scalar int32 layer index.
 
     Returns:
         (B*K, HD) attention outputs.
     """
-    B, S, HD = k.shape
+    L, B, S, HD = k.shape
     BK = q.shape[0]
     K = BK // B
     head_dim = HD // n_heads
@@ -182,9 +204,11 @@ def decode_cross_attention(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if interpret:
+        kl = jax.lax.dynamic_index_in_dim(k, layer, 0, keepdims=False)
+        vl = jax.lax.dynamic_index_in_dim(v, layer, 0, keepdims=False)
         qh = q.reshape(B, K, n_heads, head_dim)
-        kh = k.reshape(B, S, n_heads, head_dim)
-        vh = v.reshape(B, S, n_heads, head_dim)
+        kh = kl.reshape(B, S, n_heads, head_dim)
+        vh = vl.reshape(B, S, n_heads, head_dim)
         s = jnp.einsum(
             "bkhd,bshd->bkhs", qh, kh, preferred_element_type=jnp.float32
         ) * scale
@@ -196,16 +220,21 @@ def decode_cross_attention(
         return o.reshape(B * K, HD).astype(q.dtype)
 
     G = _head_groups(HD, head_dim, S, k.dtype.itemsize, 2)
-    grid = (B, G)
     q3 = q.reshape(B, K, HD)
-    q_spec = pl.BlockSpec((1, K, HD // G), lambda b, g: (b, 0, g))
-    kv_spec = pl.BlockSpec((1, S, HD // G), lambda b, g: (b, 0, g))
-    out = pl.pallas_call(
-        functools.partial(_cross_kernel, head_dim=head_dim, scale=scale),
-        grid=grid,
+    q_spec = pl.BlockSpec((1, K, HD // G), lambda b, g, lref: (b, 0, g))
+    kv_spec = pl.BlockSpec(
+        (1, 1, S, HD // G), lambda b, g, lref: (lref[0], b, 0, g)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, G),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
+    )
+    out = pl.pallas_call(
+        functools.partial(_cross_kernel, head_dim=head_dim, scale=scale),
+        grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=interpret,
-    )(q3, k, v)
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), q3, k, v)
     return out.reshape(B * K, HD)

@@ -1,0 +1,136 @@
+"""Offline "mini-Røst" end-to-end quality rehearsal.
+
+The reference's north-star experiment fine-tunes XLS-R on CoRal and decodes
+with a KenLM n-gram through pyctcdecode (``makefile:79-107``,
+``src/coral/finetune.py:86-87``, ``evaluate.py:29``). That exact experiment
+needs the real corpus and checkpoints (no egress here); this is the closest
+offline stand-in: drive the FULL chain on synthetic data — finetune (a tiny
+model long enough to actually learn) -> n-gram training -> evaluation with
+beam search + LM — and assert the quality mechanics work end to end:
+
+- WER on the validation split DROPS as training progresses;
+- decoding with beam + n-gram LM is no worse than greedy decoding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from coral_tpu.config import compose
+from coral_tpu.data.synthetic import DANISH_SENTENCES, make_synthetic_examples
+from coral_tpu.evaluation.metrics import wer
+from coral_tpu.training.finetune import finetune
+
+OVERRIDES = [
+    "model=test-wav2vec2",
+    "datasets=[synthetic]",
+    # per-character tone audio: a learnable frame->character alignment (the
+    # default synthetic harmonics have none, and CTC then only memorises
+    # whole utterances — far too slowly for an offline rehearsal)
+    "datasets.synthetic.id=synthetic://spelled:8",
+    "+model.architecture=tiny",
+    "evaluation_datasets=[{id: synthetic://spelled:8, val_name: val}]",
+    "mesh=[1,1]",
+    "total_batch_size=8",
+    "per_device_batch_size=8",
+    "warmup_steps=20",
+    "logging_steps=50",
+    "save_total_limit=1",
+    "enable_experiment_tracking=false",
+    "bf16_allowed=false",
+    "gradient_checkpointing=false",
+    "max_seconds_per_example=5.0",
+    "num_length_buckets=1",
+    "+max_label_length=64",
+    "+eval_max_samples=8",
+    "model.freeze_feature_encoder=false",
+    # memorisation regime: no SpecAugment masking, no waveform augmentation
+    "model.mask_time_prob=0.0",
+    "model.mask_feature_prob=0.0",
+    "augment_audio=false",
+    "learning_rate=1e-3",
+]
+
+
+def _run(config_path, model_dir, steps):
+    config = compose(
+        "asr_finetuning",
+        overrides=OVERRIDES + [
+            f"model_dir={model_dir}", f"max_steps={steps}",
+            f"eval_steps={steps}", f"save_steps={steps}",
+        ],
+        config_path=config_path,
+    )
+    return finetune(config)
+
+
+def _val_batch(max_seconds, sample_rate):
+    examples = make_synthetic_examples(8, spelled=True)
+    T = int(max_seconds * sample_rate)
+    audio = np.zeros((8, T), np.float32)
+    lengths = np.zeros((8,), np.int32)
+    texts = []
+    for i, ex in enumerate(examples):
+        a = ex["audio"]["array"][:T]
+        audio[i, : len(a)] = a
+        lengths[i] = len(a)
+        texts.append(ex["text"])
+    return {"input_values": audio, "input_lengths": lengths}, texts
+
+
+@pytest.mark.slow
+def test_mini_rost_quality_rehearsal(tmp_path, config_path):
+    # --- finetune: short vs long run from the same init recipe ---
+    # (the long run crosses CTC's alignment phase transition: measured
+    # WER 1.0 -> ~0.6 and CER ~0.97 -> ~0.18 by step 1000 on this recipe)
+    hist_short = _run(config_path, tmp_path / "short", steps=4)
+    hist_long = _run(config_path, tmp_path / "long", steps=1000)
+    wer_short = hist_short["val_spelled:8_wer"]
+    wer_long = hist_long["val_spelled:8_wer"]
+    assert np.isfinite(hist_long["loss"])
+    # training must actually reduce WER on the (memorisable) val split
+    assert wer_long < wer_short - 0.2, (wer_short, wer_long)
+    assert wer_long < 0.8
+    assert hist_long["val_spelled:8_cer"] < 0.4
+
+    # --- n-gram training on the task corpus (the reference's
+    # train_ngram_decoder step), stored next to the model ---
+    from coral_tpu.decoding import NGramModel
+
+    corpus = tmp_path / "corpus.txt"
+    corpus.write_text(
+        "\n".join(DANISH_SENTENCES * 4) + "\n", encoding="utf-8"
+    )
+    NGramModel.train(
+        corpus, tmp_path / "long" / "3gram.arpa", order=3, prune=[0, 0, 0]
+    )
+
+    # --- evaluation: beam + LM auto-engages from the stored ARPA; greedy
+    # via no_lm (the reference's evaluate_model surface) ---
+    from coral_tpu.config import DictConfig
+    from coral_tpu.evaluation.evaluate import load_saved_predictor
+
+    def transcribe(no_lm):
+        cfg = DictConfig({
+            "model_id": str(tmp_path / "long"),
+            "batch_size": 8,
+            "sampling_rate": 16_000,
+            "characters_to_keep": "abcdefghijklmnopqrstuvwxyzæøå",
+            "lower_case": True,
+            "max_seconds_per_example": 5.0,
+            "no_lm": no_lm,
+        })
+        predict, geometry = load_saved_predictor(cfg)
+        batch, texts = _val_batch(
+            geometry["max_seconds"], geometry["sample_rate"]
+        )
+        return predict(batch), texts
+
+    greedy_out, texts = transcribe(no_lm=True)
+    beam_out, _ = transcribe(no_lm=False)
+    greedy_wer = wer(texts, greedy_out)
+    beam_wer = wer(texts, beam_out)
+    # LM fusion must not hurt on in-corpus sentences (typically it helps by
+    # snapping near-miss character sequences onto corpus words).
+    assert beam_wer <= greedy_wer + 1e-9, (greedy_wer, beam_wer, beam_out)

@@ -224,12 +224,13 @@ def verify_decode_attention():
 
     print("decode_attention (whisper decode):")
     rng = np.random.default_rng(6)
-    B, K, T, H, d = 4, 5, 196, 12, 64
+    L, B, K, T, H, d = 3, 4, 5, 196, 12, 64
     HD = H * d
     pos = 77
+    layer = jnp.asarray(1, jnp.int32)
     q = jnp.asarray(rng.standard_normal((B * K, HD)), jnp.bfloat16)
-    ck = jnp.asarray(rng.standard_normal((B * K, T, HD)), jnp.bfloat16)
-    cv = jnp.asarray(rng.standard_normal((B * K, T, HD)), jnp.bfloat16)
+    ck = jnp.asarray(rng.standard_normal((L, B * K, T, HD)), jnp.bfloat16)
+    cv = jnp.asarray(rng.standard_normal((L, B * K, T, HD)), jnp.bfloat16)
     anc = rng.integers(0, K, size=(B, K, T))
     oh = (
         (anc[:, :, None, :] == np.arange(K)[None, None, :, None])
@@ -239,20 +240,22 @@ def verify_decode_attention():
 
     got = jax.jit(
         lambda q, ck, cv, oh: decode_self_attention(
-            q, ck, cv, oh, H, interpret=False
+            q, ck, cv, oh, H, layer, interpret=False
         )
     )(q, ck, cv, oh)
-    want = decode_self_attention(q, ck, cv, oh, H, interpret=True)
-    check("self fwd (beamed mask)", got, want, atol=3e-2)
+    want = decode_self_attention(q, ck, cv, oh, H, layer, interpret=True)
+    check("self fwd (beamed mask, stacked cache)", got, want, atol=3e-2)
 
     S = 1500
-    kk = jnp.asarray(rng.standard_normal((B, S, HD)), jnp.bfloat16)
-    vv = jnp.asarray(rng.standard_normal((B, S, HD)), jnp.bfloat16)
+    kk = jnp.asarray(rng.standard_normal((L, B, S, HD)), jnp.bfloat16)
+    vv = jnp.asarray(rng.standard_normal((L, B, S, HD)), jnp.bfloat16)
     got = jax.jit(
-        lambda q, kk, vv: decode_cross_attention(q, kk, vv, H, interpret=False)
+        lambda q, kk, vv: decode_cross_attention(
+            q, kk, vv, H, layer, interpret=False
+        )
     )(q, kk, vv)
-    want = decode_cross_attention(q, kk, vv, H, interpret=True)
-    check("cross fwd (shared KV)", got, want, atol=3e-2)
+    want = decode_cross_attention(q, kk, vv, H, layer, interpret=True)
+    check("cross fwd (shared KV, stacked)", got, want, atol=3e-2)
 
 
 def main():
