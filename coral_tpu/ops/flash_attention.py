@@ -30,32 +30,46 @@ from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def _block_geometry(T: int):
+    """Padded length and block size: 768 blocks measured best across the
+    board at T=1536 (512-dkv: -3%)."""
+    Tp = -(-T // 512) * 512
+    blk = 768 if Tp % 768 == 0 else 512
+    return Tp, blk
+
+
+def _padded_inputs(q, k, v, *extra):
+    from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
+
+    B, _, T, _ = q.shape
+    Tp, blk = _block_geometry(T)
+    pad = Tp - T
+    if pad:
+        p4 = lambda x: jnp.pad(  # noqa: E731
+            x, ((0, 0), (0, 0), (0, pad), (0, 0))
+        )
+        q, k, v = p4(q), p4(k), p4(v)
+        extra = tuple(p4(x) for x in extra)
+    ids = jnp.pad(jnp.ones((B, T), jnp.int32), ((0, 0), (0, pad)))
+    return (q, k, v, *extra), SegmentIds(q=ids, kv=ids), blk, pad
+
+
 def _flash(q, k, v):
     """Stock flash kernel over (B, H, T, d) with T padded to the block grid."""
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
-        SegmentIds,
         flash_attention,
     )
 
-    B, H, T, d = q.shape
-    Tp = -(-T // 512) * 512
-    blk = 768 if Tp % 768 == 0 else 512
-    pad = Tp - T
-    if pad:
-        padded = lambda x: jnp.pad(  # noqa: E731
-            x, ((0, 0), (0, 0), (0, pad), (0, 0))
-        )
-        q, k, v = padded(q), padded(k), padded(v)
-    ids = jnp.pad(jnp.ones((B, T), jnp.int32), ((0, 0), (0, pad)))
-    # 768 blocks measured best across the board at T=1536 (512-dkv: -3%).
+    T, d = q.shape[2], q.shape[3]
+    (q, k, v), seg, blk, _ = _padded_inputs(q, k, v)
     sizes = BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
         block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
     )
     out = flash_attention(
-        q, k, v, segment_ids=SegmentIds(q=ids, kv=ids), causal=False,
+        q, k, v, segment_ids=seg, causal=False,
         sm_scale=float(d) ** -0.5, block_sizes=sizes,
     )
     return out[:, :, :T, :]
@@ -89,8 +103,42 @@ def _fwd_cp():
 
 
 def _grads(q, k, v, do):
-    _, vjp = jax.vjp(_flash, q, k, v)
-    return vjp(do)
+    """Explicit flash backward: recompute the forward with residuals, then
+    the stock dkv kernel plus the patched dq wrapper
+    (``ops/_flash_bwd_patch.py`` — the stock one broadcasts ``di`` to
+    ``block_k_major`` lanes of which the kernel reads 128, a ~906 MB dead
+    materialisation at whisper-small shapes, ~16 ms/step)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    from ._flash_bwd_patch import flash_attention_bwd_dq_fixed
+
+    T, d = q.shape[2], q.shape[3]
+    (q, k, v, do), seg, blk, pad = _padded_inputs(q, k, v, do)
+    scale = float(d) ** -0.5
+    sizes = _fa.BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    o, l, m = _fa._flash_attention(
+        q, k, v, None, seg, True, False, scale, sizes, False
+    )
+    di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    dk, dv = _fa._flash_attention_bwd_dkv(
+        q, k, v, None, seg, l, m, do, di,
+        block_q_major=blk, block_k_major=blk, block_k=blk, block_q=blk,
+        sm_scale=scale, causal=False,
+        mask_value=_fa.DEFAULT_MASK_VALUE, debug=False,
+    )
+    dq = flash_attention_bwd_dq_fixed(
+        q, k, v, seg, l, m, do, di,
+        block_q_major=blk, block_k_major=blk, block_k=blk,
+        sm_scale=scale, mask_value=_fa.DEFAULT_MASK_VALUE,
+    )
+    if pad:
+        unpad = lambda x: x[:, :, :T, :]  # noqa: E731
+        return unpad(dq), unpad(dk), unpad(dv)
+    return dq, dk, dv
 
 
 @functools.lru_cache(maxsize=None)

@@ -83,16 +83,17 @@ def _val_batch(max_seconds, sample_rate):
 def test_mini_rost_quality_rehearsal(tmp_path, config_path):
     # --- finetune: short vs long run from the same init recipe ---
     # (the long run crosses CTC's alignment phase transition: measured
-    # WER 1.0 -> ~0.6 and CER ~0.97 -> ~0.18 by step 1000 on this recipe)
+    # WER 1.0 -> 0.52 and CER 0.97 -> 0.12 by step 1600 on this recipe;
+    # the LR schedule spans max_steps, so the step count is part of it)
     hist_short = _run(config_path, tmp_path / "short", steps=4)
-    hist_long = _run(config_path, tmp_path / "long", steps=1000)
+    hist_long = _run(config_path, tmp_path / "long", steps=1600)
     wer_short = hist_short["val_spelled:8_wer"]
     wer_long = hist_long["val_spelled:8_wer"]
     assert np.isfinite(hist_long["loss"])
     # training must actually reduce WER on the (memorisable) val split
-    assert wer_long < wer_short - 0.2, (wer_short, wer_long)
-    assert wer_long < 0.8
-    assert hist_long["val_spelled:8_cer"] < 0.4
+    assert wer_long < wer_short - 0.25, (wer_short, wer_long)
+    assert wer_long < 0.75
+    assert hist_long["val_spelled:8_cer"] < 0.3
 
     # --- n-gram training on the task corpus (the reference's
     # train_ngram_decoder step), stored next to the model ---
