@@ -234,12 +234,18 @@ def finetune(config: Any) -> dict[str, float]:
             logger.info(f"Skipping {start_step} consumed batches to resume in place.")
         for _ in range(start_step):
             next(stream)
-    # The background thread only assembles host (numpy) batches; the device_put
-    # happens on the main thread. JAX client calls are not safe to issue from a
-    # second thread concurrently with the main thread's dispatches/fetches.
+    # The background thread assembles host (numpy) batches AND issues the
+    # (asynchronous) device transfer, so batch N+1 streams to HBM while the
+    # device executes step N — the device-side counterpart of the reference's
+    # dataloader workers (reference src/coral/wav2vec2.py:247 overlaps only
+    # host-side collation). jax.device_put is dispatch-thread-safe; the queue
+    # bounds in-flight transfers to `prefetch_size` batches of HBM.
     batches = prefetch_to_device(
         stream,
-        put_fn=lambda b: (float(np.sum(b["input_lengths"])) / sample_rate, b),
+        put_fn=lambda b: (
+            float(np.sum(b["input_lengths"])) / sample_rate,
+            jax.device_put(b, batch_sh),
+        ),
         prefetch_size=int(config.get("prefetch_size", 2)),
     )
 
@@ -295,12 +301,11 @@ def finetune(config: Any) -> dict[str, float]:
     profile_dir = str(model_dir / "profile")
 
     step = start_step
-    for batch_seconds, host_batch in batches:
+    for batch_seconds, batch in batches:
         if step >= max_steps:
             break
         if profile_step is not None and step == int(profile_step):
             jax.profiler.start_trace(profile_dir)
-        batch = jax.device_put(host_batch, batch_sh)
         state, metrics = jitted_train(
             state, batch, jax.random.fold_in(train_rng, step)
         )
