@@ -73,6 +73,10 @@ class Wav2Vec2Config:
     #   "flash" — blocked Pallas flash attention; only pays off at much
     #     longer sequences than 10 s clips (measured 321 vs 538 audio-s/s).
     attention_impl: str = "pallas"
+    # Feature encoder: fuse each stride-2 conv block with its LayerNorm+GELU
+    # into one Pallas pass (ops/conv_ln_gelu_pallas.py). False = XLA conv +
+    # the fused LN+GELU kernel.
+    fused_fe_conv: bool = True
 
     @classmethod
     def xls_r_300m(cls, vocab_size: int = 46, **kw) -> "Wav2Vec2Config":
@@ -167,6 +171,7 @@ class ConvLayer(nn.Module):
     use_group_norm: bool
     eps: float
     dtype: Dtype
+    fuse_conv: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -180,6 +185,24 @@ class ConvLayer(nn.Module):
                        jnp.float32)
             if self.use_bias else None
         )
+        if (
+            self.fuse_conv and self.use_layer_norm and self.stride == 2
+            and self.kernel in (2, 3) and in_dim == self.out_dim
+            and in_dim % 128 == 0
+        ):
+            # Whole block in one Pallas pass: stride-2 conv as deinterleaved
+            # full-width MXU matmuls + fp32 LayerNorm stats + exact GELU,
+            # no HBM round-trips for the conv output or the normalised
+            # tensor (ops/conv_ln_gelu_pallas.py).
+            from ..ops.conv_ln_gelu_pallas import conv_ln_gelu
+
+            gamma, beta = _LayerNormParams(self.out_dim, name="layer_norm")()
+            b = bias if bias is not None else jnp.zeros(
+                (self.out_dim,), jnp.float32
+            )
+            return conv_ln_gelu(
+                x.astype(self.dtype), kernel, b, gamma, beta, eps=self.eps
+            ).astype(self.dtype)
         x = checkpoint_name(
             _conv1d(x, kernel, bias, stride=self.stride, dtype=self.dtype),
             "conv_raw",
@@ -217,7 +240,8 @@ class FeatureEncoder(nn.Module):
                 out_dim=dim, kernel=k, stride=s, use_bias=cfg.conv_bias,
                 use_layer_norm=cfg.feat_extract_norm == "layer",
                 use_group_norm=cfg.feat_extract_norm == "group" and i == 0,
-                eps=cfg.layer_norm_eps, dtype=cfg.dtype, name=f"conv_layers_{i}",
+                eps=cfg.layer_norm_eps, dtype=cfg.dtype,
+                fuse_conv=cfg.fused_fe_conv, name=f"conv_layers_{i}",
             )(x)
         return x
 

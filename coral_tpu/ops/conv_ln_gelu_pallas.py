@@ -1,0 +1,497 @@
+"""Fused stride-2 conv + bias + LayerNorm + exact GELU (Pallas TPU).
+
+The wav2vec2 feature encoder (reference: HF ``Wav2Vec2FeatureEncoder``,
+configured at ``src/coral/wav2vec2.py:104-126``) runs six stride-2 conv
+blocks (k=3 for layers 1-4, k=2 for layers 5-6, C=512) each followed by
+LayerNorm-over-channels and exact GELU. XLA lowers each block as a conv
+custom-call plus separate LN/GELU fusions, paying HBM round-trips for the
+conv output and the normalised tensor, plus layout copies around the strided
+window (~58 ms/step of the 411 ms wav2vec2-315M step at B=32 x 10 s in the
+round-3 profile, vs a ~30 ms flop floor).
+
+This kernel computes one whole block in a single pass over the input:
+
+- A stride-2 conv with kernel k over rows is exactly ``even @ W0 + odd @ W1
+  (+ shift(even) @ W2)`` where ``even``/``odd`` are the deinterleaved input
+  rows. The kernel loads a contiguous (2*TB, C) row slab (natural layout, no
+  XLA relayout), deinterleaves via the free (TB, 2C) pair-fold reshape plus
+  two lane slices, and runs 2-3 full-width (TB, C) @ (C, C) MXU matmuls —
+  contraction and output are both C=512, so the MXU runs full, unlike an
+  im2col formulation which materialises patch tensors in HBM (measured 750
+  vs 778 audio-s/s in round 3).
+- The one even row a k=3 window needs from the next slab (input row
+  2*TB*(t+1)) is gathered outside the kernel with one strided XLA slice
+  (nT rows per batch element, negligible traffic) and block-mapped
+  per step, which keeps every kernel read exactly in-bounds.
+- Bias, fp32 LayerNorm stats, and exact GELU are applied in-register; only
+  the final activation ``y``, the pre-GELU normalised tensor ``h`` and the
+  per-row ``rstd`` leave the kernel (``h``/``rstd`` make the backward
+  matmul-recompute-free).
+- Backward fuses dGELU + dLN + conv-dx + conv-dW + dbias/dgamma/dbeta in one
+  pass: ``da`` is formed in-register from (h, rstd, dy), dx's even/odd rows
+  come from ``da @ W^T`` matmuls re-interleaved in VMEM, the cross-slab k=3
+  term is emitted as a per-slab halo row added outside, and the (k, C, C)
+  dW accumulates in an fp32 VMEM scratch across the whole grid (written once
+  at the last step).
+
+Off-TPU the public entry points compose plain XLA ops (same math, fp32
+stats), so CPU tests exercise identical semantics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .gelu_dropout_pallas import _gelu_parts, _INV_SQRT_2PI
+
+_TB = 256      # output rows per grid step (input slab = 2*TB rows)
+_HALO = 16     # halo fixup block sublanes (>= bf16 min tile)
+
+
+def _deinterleave(x):
+    """(2N, C) -> even rows (N, C), odd rows (N, C).
+
+    The pair-fold reshape (2N, C) -> (N, 2C) is row-major contiguous, so the
+    even/odd split becomes two tile-aligned lane slices (the layout the round-3
+    Mosaic prototype validated) instead of sublane-strided gathers.
+    """
+    n2, c = x.shape
+    xf = x.reshape(n2 // 2, 2 * c)
+    return xf[:, :c], xf[:, c:]
+
+
+def _interleave(even, odd):
+    """even/odd (N, C) -> (2N, C) with even rows at 0, 2, 4, ..."""
+    n, c = even.shape
+    return jnp.concatenate([even, odd], axis=1).reshape(2 * n, c)
+
+
+def _gather_halo(x, nT):
+    """Rows 2*_TB*(t+1) of x for t in [0, nT) as (B, nT, C), zero-padded
+    where the row is out of bounds (those rows only feed masked outputs)."""
+    B, T_in, C = x.shape
+    sl = jax.lax.slice(
+        x, (0, 2 * _TB, 0), (B, T_in, C), (1, 2 * _TB, 1)
+    ) if T_in > 2 * _TB else jnp.zeros((B, 0, C), x.dtype)
+    n_valid = sl.shape[1]
+    if n_valid < nT:
+        sl = jnp.pad(sl, ((0, 0), (0, nT - n_valid), (0, 0)))
+    # Unit sublane axis so the (1, 1, 1, C) block satisfies Mosaic's
+    # block-shape rule (sublane dim equal to the array dim).
+    return sl[:, :nT, None, :]
+
+
+def _conv_rows(even, odd, even_next, w_ref, k: int):
+    """Stride-2 conv over deinterleaved rows -> fp32 (TB, C) accumulator."""
+    mm = lambda a, i: jax.lax.dot_general(  # noqa: E731
+        a, w_ref[i], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc = mm(even, 0) + mm(odd, 1)
+    if k == 3:
+        acc = acc + mm(even_next, 2)
+    return acc
+
+
+def _fwd_kernel(x_ref, halo_ref, w_ref, b_ref, g_ref, beta_ref,
+                y_ref, h_ref, rstd_ref, *, k: int, eps: float):
+    even, odd = _deinterleave(x_ref[0])
+    if k == 3:
+        # shift(even): rows 1..TB-1 of even, then the gathered halo row
+        # (= input row 2*TB*(t+1), i.e. the next slab's row 0).
+        even_next = jnp.concatenate([even[1:], halo_ref[0, 0]], axis=0)
+    else:
+        even_next = None
+    acc = _conv_rows(even, odd, even_next, w_ref, k)
+    acc = acc + b_ref[...].astype(jnp.float32)
+
+    mu = jnp.mean(acc, axis=-1, keepdims=True)
+    cen = acc - mu
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    h = (cen * rstd) * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(
+        jnp.float32
+    )
+    y, _ = _gelu_parts(h)
+    y_ref[0] = y.astype(y_ref.dtype)
+    h_ref[0] = h.astype(h_ref.dtype)
+    rstd_ref[0] = rstd
+
+
+def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, h_ref, rstd_ref,
+                dy_ref, dx_ref, dhalo_ref, dw_ref, dvec_ref, dw_acc, dvec_acc,
+                *, k: int, n_rows: int, eps: float):
+    t = pl.program_id(1)
+    t_last = pl.num_programs(1) - 1
+
+    @pl.when(t == 0)
+    def _():
+        dw_acc[...] = jnp.zeros_like(dw_acc)
+        dvec_acc[...] = jnp.zeros_like(dvec_acc)
+
+    gamma = g_ref[...].astype(jnp.float32)
+    beta = beta_ref[...].astype(jnp.float32)
+    h = h_ref[0].astype(jnp.float32)
+    dy = dy_ref[0].astype(jnp.float32)
+
+    # Rows past n_rows in the ragged last block hold pad data (on real TPUs
+    # out-of-bounds block reads are unspecified, possibly NaN); their dx is
+    # clipped on write, but everything that feeds the dW/dvec accumulators —
+    # including 0 * NaN products — must be masked to true zeros.
+    row = t * dy.shape[0] + jax.lax.broadcasted_iota(jnp.int32, dy.shape, 0)
+    mask = row < n_rows
+    h = jnp.where(mask, h, 0.0)
+    rstd = jnp.where(mask[:, :1], rstd_ref[0], 0.0)
+
+    # GELU backward: dh = dy * gelu'(h).
+    _, phi_cdf = _gelu_parts(h)
+    dh = dy * (phi_cdf + h * (jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI))
+    dh = jnp.where(mask, dh, 0.0)
+
+    # LayerNorm backward (stats re-derived from h: xhat = (h - beta)/gamma).
+    xhat = jnp.where(mask, (h - beta) / gamma, 0.0)
+    dvec_acc[0, :] += jnp.sum(dh * xhat, axis=0)   # dgamma
+    dvec_acc[1, :] += jnp.sum(dh, axis=0)          # dbeta
+    dn = dh * gamma
+    da = (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dn * xhat, axis=-1, keepdims=True)
+    ) * rstd
+    dvec_acc[2, :] += jnp.sum(da, axis=0)          # dbias
+
+    # conv dx: even rows get da @ W0^T (+ prev-row da @ W2^T for k=3),
+    # odd rows get da @ W1^T.
+    dab = da.astype(x_ref.dtype)
+    mmT = lambda a, i: jax.lax.dot_general(  # noqa: E731
+        a, w_ref[i], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d_even = mmT(dab, 0)
+    d_odd = mmT(dab, 1)
+    if k == 3:
+        dw2 = mmT(dab, 2)
+        # row 2i+2 of dx gets da[i] @ W2^T: within the slab that lands on
+        # even rows 1..TB-1; the last row spills into the next slab's row 0
+        # and is emitted as a halo row summed in XLA outside.
+        d_even = d_even + jnp.concatenate(
+            [jnp.zeros_like(dw2[:1]), dw2[:-1]], axis=0
+        )
+        dhalo_ref[0, 0] = dw2[-1:].astype(dhalo_ref.dtype)
+    dx_ref[0] = _interleave(
+        d_even.astype(dx_ref.dtype), d_odd.astype(dx_ref.dtype)
+    )
+
+    # conv dW: dW_tap = sum_t in_tap[t]^T da[t], accumulated over the grid.
+    # The input rows are masked too: x pad rows are unspecified on TPU and
+    # pair with dab rows that are zero, but 0 * NaN would still poison dW.
+    even, odd = _deinterleave(x_ref[0])
+    if k == 3:
+        # Shift before masking: row j's tap-2 input x[2j+2] sits in even row
+        # j+1, whose own output row may be invalid while row j is not.
+        even_next = jnp.concatenate([even[1:], halo_ref[0, 0]], axis=0)
+        even_next = jnp.where(mask, even_next, 0)
+    even = jnp.where(mask, even, 0)
+    odd = jnp.where(mask, odd, 0)
+    otT = lambda a, b: jax.lax.dot_general(  # noqa: E731
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dw_acc[0] += otT(even, dab)
+    dw_acc[1] += otT(odd, dab)
+    if k == 3:
+        dw_acc[2] += otT(even_next, dab)
+
+    @pl.when(t == t_last)
+    def _():
+        dw_ref[0] = dw_acc[...]
+        dvec_ref[0] = dvec_acc[...]
+
+
+def _grid_specs(B, T_out, C, k):
+    nT = pl.cdiv(T_out, _TB)
+    x_spec = pl.BlockSpec((1, 2 * _TB, C), lambda b, t: (b, t, 0))
+    # Halo: one gathered row per slab (input row 2*_TB*(t+1)), see
+    # ``_gather_halo`` — every read is exactly in-bounds.
+    halo_spec = pl.BlockSpec((1, 1, 1, C), lambda b, t: (b, t, 0, 0))
+    w_spec = pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0))
+    vec_spec = pl.BlockSpec((C,), lambda b, t: (0,))
+    out_spec = pl.BlockSpec((1, _TB, C), lambda b, t: (b, t, 0))
+    rstd_spec = pl.BlockSpec((1, _TB, 1), lambda b, t: (b, t, 0))
+    return nT, x_spec, halo_spec, w_spec, vec_spec, out_spec, rstd_spec
+
+
+def _fwd_pallas(x, w, b, gamma, beta, k, eps, interpret):
+    B, T_in, C = x.shape
+    T_out = (T_in - k) // 2 + 1
+    nT, x_spec, halo_spec, w_spec, vec_spec, out_spec, rstd_spec = _grid_specs(
+        B, T_out, C, k
+    )
+    halo = _gather_halo(x, nT)
+    y, h, rstd = pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, eps=eps),
+        grid=(B, nT),
+        in_specs=[x_spec, halo_spec, w_spec, vec_spec, vec_spec, vec_spec],
+        out_specs=[out_spec, out_spec, rstd_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T_out, C), x.dtype),
+            jax.ShapeDtypeStruct((B, T_out, C), x.dtype),
+            jax.ShapeDtypeStruct((B, T_out, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, halo, w, b, gamma, beta)
+    return y, h, rstd
+
+
+def _bwd_pallas(x, w, gamma, beta, h, rstd, dy, k, eps, interpret):
+    """Returns (dx, dw_rows (B,k,C,C) fp32, dvec_rows (B,3,C) fp32).
+
+    Weight-grad partials are per batch row (reduced by the caller with plain
+    jnp sums so GSPMD inserts the cross-shard psum — same pattern as
+    ``ln_gelu_pallas._bwd_pallas``).
+    """
+    B, T_in, C = x.shape
+    T_out = h.shape[1]
+    nT, x_spec, halo_spec, w_spec, vec_spec, out_spec, rstd_spec = _grid_specs(
+        B, T_out, C, k
+    )
+    halo = _gather_halo(x, nT)
+    dx_spec = pl.BlockSpec((1, 2 * _TB, C), lambda b, t: (b, t, 0))
+    dhalo_spec = pl.BlockSpec((1, 1, 1, C), lambda b, t: (b, t, 0, 0))
+    dw_spec = pl.BlockSpec((1, k, C, C), lambda b, t: (b, 0, 0, 0))
+    dvec_spec = pl.BlockSpec((1, 3, C), lambda b, t: (b, 0, 0))
+    dx, dhalo, dw_rows, dvec_rows = pl.pallas_call(
+        functools.partial(_bwd_kernel, k=k, n_rows=T_out, eps=eps),
+        grid=(B, nT),
+        in_specs=[x_spec, halo_spec, w_spec, vec_spec, vec_spec, out_spec,
+                  rstd_spec, out_spec],
+        out_specs=[dx_spec, dhalo_spec, dw_spec, dvec_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T_in, C), x.dtype),  # ragged last block
+            jax.ShapeDtypeStruct((B, nT, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, k, C, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3, C), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((k, C, C), jnp.float32),
+            pltpu.VMEM((3, C), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, halo, w, gamma, beta, h, rstd, dy)
+    if k == 3:
+        # Slab t's last output row drives input row 2*_TB*(t+1); that lands
+        # in slab t+1's first row. The last slab never spills on the kernel
+        # path (the exact-fit shapes where it would are routed to the XLA
+        # fallback in ``conv_ln_gelu``), so its zero dhalo row is skipped.
+        n_fix = nT - 1
+        if n_fix > 0:
+            dx = _halo_fixup(dx, dhalo, n_fix, interpret)
+    return dx, dw_rows, dvec_rows
+
+
+def _fixup_kernel(dx_ref, dh_ref, out_ref):
+    blk = dx_ref[0]
+    out_ref[0] = jnp.concatenate(
+        [(blk[:1].astype(jnp.float32) + dh_ref[0, 0]).astype(blk.dtype), blk[1:]],
+        axis=0,
+    )
+
+
+def _halo_fixup(dx, dhalo, n_fix, interpret):
+    """In-place add of the per-slab k=3 spill rows: slab t's last output row
+    also drives input row 2*_TB*(t+1) (= slab t+1's first row). Touches only
+    ``n_fix`` 16-row blocks; ``input_output_aliases`` keeps it a true
+    in-place update on the big dx buffer instead of a full-tensor scatter
+    copy."""
+    B, T_in, C = dx.shape
+    dx_spec = pl.BlockSpec(
+        (1, _HALO, C), lambda b, t: (b, (t + 1) * (2 * _TB) // _HALO, 0)
+    )
+    dh_spec = pl.BlockSpec((1, 1, 1, C), lambda b, t: (b, t, 0, 0))
+    return pl.pallas_call(
+        _fixup_kernel,
+        grid=(B, n_fix),
+        in_specs=[dx_spec, dh_spec],
+        out_specs=dx_spec,
+        out_shape=jax.ShapeDtypeStruct(dx.shape, dx.dtype),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(dx, dhalo)
+
+
+# ---------------------------------------------------------------------------
+# custom_partitioning: batch-parallel over dim 0; weight grads need a psum
+# across batch shards, which runs as plain XLA outside the kernel (the bwd
+# pallas call emits full dW per shard; jnp sums stay in the partitioned fn).
+# ---------------------------------------------------------------------------
+
+
+def _batch_only(sharding, mesh, ndim):
+    spec = [None] * ndim
+    if isinstance(sharding, NamedSharding) and len(sharding.spec):
+        spec[0] = sharding.spec[0]
+    return NamedSharding(mesh, P(*spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(k, eps, interpret):
+    f = custom_partitioning(
+        lambda x, w, b, g, beta: _fwd_pallas(
+            x, w, b, g, beta, k, eps, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh3 = _batch_only(arg_infos[0].sharding, mesh, 3)
+        sh2 = _batch_only(arg_infos[0].sharding, mesh, 2)
+        return (sh3, sh3, sh2)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh3 = _batch_only(arg_infos[0].sharding, mesh, 3)
+        sh2 = _batch_only(arg_infos[0].sharding, mesh, 2)
+        rep = NamedSharding(mesh, P())
+        lower = lambda x, w, b, g, beta: _fwd_pallas(  # noqa: E731
+            x, w, b, g, beta, k, eps, interpret
+        )
+        rep1 = NamedSharding(mesh, P(None))
+        return (
+            mesh, lower, (sh3, sh3, sh2),
+            (sh3, NamedSharding(mesh, P(None, None, None)), rep1, rep1, rep1),
+        )
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b t c, k c d, d, d, d -> b s d, b s d, b s r",
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(k, eps, interpret):
+    f = custom_partitioning(
+        lambda x, w, g, beta, h, rstd, dy: _bwd_pallas(
+            x, w, g, beta, h, rstd, dy, k, eps, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh3 = _batch_only(arg_infos[0].sharding, mesh, 3)
+        sh4 = _batch_only(arg_infos[0].sharding, mesh, 4)
+        return (sh3, sh4, sh3)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh3 = _batch_only(arg_infos[0].sharding, mesh, 3)
+        sh4 = _batch_only(arg_infos[0].sharding, mesh, 4)
+        sh2 = _batch_only(arg_infos[0].sharding, mesh, 2)
+        rep1 = NamedSharding(mesh, P(None))
+        lower = lambda x, w, g, beta, h, rstd, dy: _bwd_pallas(  # noqa: E731
+            x, w, g, beta, h, rstd, dy, k, eps, interpret
+        )
+        return (
+            mesh, lower, (sh3, sh4, sh3),
+            (sh3, NamedSharding(mesh, P(None, None, None)), rep1, rep1,
+             sh3, sh2, sh3),
+        )
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b t c, k c d, d, d, b s d, b s r, b s d -> "
+            "b t c, b k c d, b u d"
+        ),
+    )
+    return f
+
+
+def _xla_reference(x, w, b, gamma, beta, k, eps):
+    """Plain-ops composition (CPU path and numerics oracle)."""
+    out = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), window_strides=(2,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    out = out.astype(jnp.float32) + b.astype(jnp.float32)
+    mu = jnp.mean(out, axis=-1, keepdims=True)
+    cen = out - mu
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    n = cen * jax.lax.rsqrt(var + eps)
+    z = n * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+    return jax.nn.gelu(z, approximate=False).astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _conv_ln_gelu(x, w, b, gamma, beta, k, eps, interpret):
+    y, _, _ = _fwd_cp(k, eps, interpret)(x, w, b, gamma, beta)
+    return y
+
+
+def _conv_ln_gelu_fwd(x, w, b, gamma, beta, k, eps, interpret):
+    y, h, rstd = _fwd_cp(k, eps, interpret)(x, w, b, gamma, beta)
+    return y, (x, w, gamma, beta, h, rstd)
+
+
+def _conv_ln_gelu_bwd(k, eps, interpret, res, dy):
+    x, w, gamma, beta, h, rstd = res
+    dx, dw_rows, dvec_rows = _bwd_cp(k, eps, interpret)(
+        x, w, gamma, beta, h, rstd, dy
+    )
+    # Batch reductions as plain XLA: under a sharded batch GSPMD inserts the
+    # cross-shard psum here (same pattern as ln_gelu_pallas).
+    dw = jnp.sum(dw_rows, axis=0).astype(w.dtype)
+    dvec = jnp.sum(dvec_rows, axis=0)
+    dgamma = dvec[0].astype(gamma.dtype)
+    dbeta = dvec[1].astype(beta.dtype)
+    db = dvec[2]
+    return dx, dw, db, dgamma, dbeta
+
+
+_conv_ln_gelu.defvjp(_conv_ln_gelu_fwd, _conv_ln_gelu_bwd)
+
+
+def conv_ln_gelu(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-5,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Fused ``gelu(layer_norm(conv1d(x, w, stride=2) + b))``.
+
+    Args:
+        x: (B, T, C) input rows (C = lane-friendly, e.g. 512).
+        w: (k, C, C_out) conv kernel, k in {2, 3}, stride fixed at 2.
+        b: (C_out,) conv bias.
+        gamma, beta: (C_out,) LayerNorm affine parameters.
+        eps: LayerNorm epsilon.
+
+    Returns:
+        (B, (T - k)//2 + 1, C_out) activations, dtype of ``x``.
+    """
+    k = w.shape[0]
+    assert k in (2, 3), "fused path covers the k=2/k=3 stride-2 layers"
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, T_in, C = x.shape
+    T_out = (T_in - k) // 2 + 1
+    nT = pl.cdiv(T_out, _TB)
+    if (
+        interpret
+        or C % 128 != 0
+        or w.shape[1] != w.shape[2]
+        # Exact-fit shapes (T_out a multiple of _TB with 1-2 input rows past
+        # the slab grid) would leave dx tail rows unwritten; production FE
+        # shapes are never exact-fit, so route the stragglers to XLA.
+        or T_in > 2 * _TB * nT
+    ):
+        # Same math, plain ops (jit-friendly, differentiable).
+        return _xla_reference(x, w, b, gamma, beta, k, eps)
+    return _conv_ln_gelu(x, w.astype(x.dtype), b, gamma, beta, k, eps, False)

@@ -40,7 +40,12 @@ def main() -> None:
     p.add_argument("--mu-dtype", default=None)
     p.add_argument("--fe-remat", action="store_true")
     p.add_argument("--freeze-fe", action="store_true")
-    p.add_argument("--attention", default="xla", help="xla | flash")
+    p.add_argument("--attention", default="pallas", help="pallas | xla | flash")
+    p.add_argument("--no-fused-fe", action="store_true",
+                   help="XLA convs + LN+GELU kernel instead of the fused "
+                        "conv+LN+GELU feature-encoder kernel")
+    p.add_argument("--unroll", type=int, default=1,
+                   help="encoder layer-scan unroll factor (24 = fully static)")
     p.add_argument("--label-len", type=int, default=128)
     p.add_argument("--vocab", type=int, default=46)
     p.add_argument("--warmup", type=int, default=3)
@@ -64,13 +69,15 @@ def main() -> None:
     mesh = create_mesh()
 
     config = Wav2Vec2Config.xls_r_300m(
-        vocab_size=args.vocab, dtype=jnp.bfloat16, attention_impl=args.attention
+        vocab_size=args.vocab, dtype=jnp.bfloat16,
+        attention_impl=args.attention, fused_fe_conv=not args.no_fused_fe,
     )
     model = Wav2Vec2ForCTC(
         config,
         gradient_checkpointing=args.remat != "none",
         remat_policy=args.remat if args.remat != "none" else "nothing_saveable",
         remat_feature_encoder=args.fe_remat,
+        scan_unroll=args.unroll,
     )
 
     rng = jax.random.PRNGKey(0)
@@ -140,6 +147,8 @@ def main() -> None:
         "remat": args.remat,
         "mu_dtype": args.mu_dtype,
         "fe_remat": args.fe_remat,
+        "unroll": args.unroll,
+        "fused_fe": not args.no_fused_fe,
         "freeze_fe": args.freeze_fe,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(

@@ -104,6 +104,37 @@ def verify_ln_gelu():
             check(f"{tag} backward {name}", a, b, atol=1e-4, rtol=1e-4)
 
 
+def verify_conv_ln_gelu():
+    """Fused stride-2 conv+LN+GELU (feature-encoder block kernel) vs XLA."""
+    from coral_tpu.ops.conv_ln_gelu_pallas import conv_ln_gelu, _xla_reference
+
+    print("conv_ln_gelu_pallas:")
+    rng = np.random.default_rng(7)
+    B, C = 4, 512
+    for k, T_in in ((3, 3201), (2, 998)):  # ragged last slab on purpose
+        x = jnp.asarray(rng.standard_normal((B, T_in, C)), jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, C, C)) * C ** -0.5,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+        gamma = jnp.asarray(rng.standard_normal(C) * 0.2 + 1, jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(C) * 0.2, jnp.float32)
+
+        fused = jax.jit(lambda x, w, b, g, bt: conv_ln_gelu(
+            x, w, b, g, bt, interpret=False))
+        plain = jax.jit(lambda x, w, b, g, bt, k=k: _xla_reference(
+            x, w, b, g, bt, k, 1e-5))
+        check(f"k={k} forward", fused(x, w, b, gamma, beta),
+              plain(x, w, b, gamma, beta), atol=3e-2)
+        loss = lambda f: lambda *a: jnp.sum(  # noqa: E731
+            f(*a).astype(jnp.float32) ** 2)
+        gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4)))(
+            x, w, b, gamma, beta)
+        gr = jax.jit(jax.grad(loss(plain), argnums=(0, 1, 2, 3, 4)))(
+            x, w, b, gamma, beta)
+        for name, a, bb in zip(("dx", "dw", "db", "dgamma", "dbeta"), gf, gr):
+            check(f"k={k} backward {name}", a, bb, atol=1.0, rtol=2e-2)
+
+
 def verify_gelu_dropout():
     """Fused GELU+dropout: exact at rate=0; mask/scale law at rate>0."""
     from coral_tpu.ops.gelu_dropout_pallas import gelu_dropout
@@ -265,6 +296,7 @@ def main():
     print(f"devices: {jax.devices()}\n")
     verify_attention_pallas()
     verify_ln_gelu()
+    verify_conv_ln_gelu()
     verify_gelu_dropout()
     verify_ctc()
     verify_flash()
