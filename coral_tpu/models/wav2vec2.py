@@ -77,6 +77,9 @@ class Wav2Vec2Config:
     # into one Pallas pass (ops/conv_ln_gelu_pallas.py). False = XLA conv +
     # the fused LN+GELU kernel.
     fused_fe_conv: bool = True
+    # Encoder (transformer) LayerNorms: "xla" = nn.LayerNorm (XLA fuses them
+    # with the residual adds), "pallas" = the one-pass ln_fused kernel.
+    encoder_ln_impl: str = "xla"
 
     @classmethod
     def xls_r_300m(cls, vocab_size: int = 46, **kw) -> "Wav2Vec2Config":
@@ -399,15 +402,29 @@ class EncoderLayer(nn.Module):
     @nn.compact
     def __call__(self, x, pad_mask, deterministic: bool = True):
         cfg = self.config
-        ln = lambda name: nn.LayerNorm(  # noqa: E731
-            epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
-        )
+        if cfg.encoder_ln_impl == "pallas":
+            # Same tree path/param names as nn.LayerNorm; the normalisation
+            # runs in the one-pass ln_fused kernel.
+            def ln(name):
+                def apply(x):
+                    from ..ops.ln_gelu_pallas import ln_fused
+
+                    gamma, beta = _LayerNormParams(
+                        cfg.hidden_size, name=name
+                    )()
+                    return ln_fused(
+                        x, gamma, beta, eps=cfg.layer_norm_eps
+                    ).astype(cfg.dtype)
+                return apply
+        else:
+            ln = lambda name: nn.LayerNorm(  # noqa: E731
+                epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
+            )
         if cfg.do_stable_layer_norm:
-            # Note: routing these pre-LNs through the fused Pallas LayerNorm
-            # measured slightly SLOWER (760 vs 764 audio-s/s) — XLA fuses the
-            # encoder LN backward with the residual adds, which a separate
-            # kernel forfeits. The fused LN only wins where XLA's lowering is
-            # multi-pass (the feature encoder's LN+GELU blocks).
+            # Round 2 measured the Pallas pre-LNs slightly slower (760 vs 764
+            # audio-s/s: XLA fused the LN backward with the residual adds);
+            # the encoder_ln_impl flag keeps the A/B one config away as the
+            # fusion landscape shifts.
             x = x + Attention(cfg, name="attention")(
                 checkpoint_name(ln("layer_norm")(x), "attn_in"),
                 pad_mask, deterministic,

@@ -44,25 +44,36 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float,
     n_heads = q_ref.shape[2] // head_dim
     for h in range(n_heads):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, lanes]  # (T, d)
+        # Fold the score scale into q: a (T, d) pass instead of (T, T).
+        q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
         k = k_ref[0, :, lanes]
         v = v_ref[0, :, lanes]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * sm_scale + bias
+        s = s + bias
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        p = (p / l).astype(q.dtype)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        # o = (e @ v) / l: the 1/l row scaling moves to the (T, d) output,
+        # saving the (T, T) divide pass the VPU is the bottleneck for here.
         o = jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            e.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        o_ref[0, :, lanes] = o.astype(o_ref.dtype)
+        o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
 
 
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 *, sm_scale: float, head_dim: int):
+    # NOTE (round 3): two "obvious" rewrites measured SLOWER end-to-end and
+    # were reverted — (a) flash-style delta = rowsum(do * o) off the saved
+    # output: the o residual is a pre-reshape value the named-checkpoint remat
+    # policies don't recognise as the saved "attn_ctx", so the fwd kernel
+    # replayed inside the backward (771.6 -> 749 audio-s/s under
+    # save_matmul_inputs); (b) folding the 1/l normalisation into (T, d) row
+    # scalings: Mosaic already register-fuses the elementwise chains, so it
+    # saved no VMEM passes and the extra operand pressure cost ~5 ms/step.
     bias = bias_ref[0]
     n_heads = q_ref.shape[2] // head_dim
     for h in range(n_heads):

@@ -44,6 +44,7 @@ def main() -> None:
     p.add_argument("--no-fused-fe", action="store_true",
                    help="XLA convs + LN+GELU kernel instead of the fused "
                         "conv+LN+GELU feature-encoder kernel")
+    p.add_argument("--ln", default="xla", help="encoder LN impl: xla | pallas")
     p.add_argument("--unroll", type=int, default=1,
                    help="encoder layer-scan unroll factor (24 = fully static)")
     p.add_argument("--label-len", type=int, default=128)
@@ -71,6 +72,7 @@ def main() -> None:
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=args.vocab, dtype=jnp.bfloat16,
         attention_impl=args.attention, fused_fe_conv=not args.no_fused_fe,
+        encoder_ln_impl=args.ln,
     )
     model = Wav2Vec2ForCTC(
         config,
@@ -149,6 +151,7 @@ def main() -> None:
         "fe_remat": args.fe_remat,
         "unroll": args.unroll,
         "fused_fe": not args.no_fused_fe,
+        "ln": args.ln,
         "freeze_fe": args.freeze_fe,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(
