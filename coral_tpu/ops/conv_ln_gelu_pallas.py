@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .gelu_dropout_pallas import _gelu_parts, _INV_SQRT_2PI
+from .gelu_dropout_pallas import _dgelu, _gelu_parts
 
 _TB = 256      # output rows per grid step (input slab = 2*TB rows)
 _HALO = 16     # halo fixup block sublanes (>= bf16 min tile)
@@ -151,8 +151,7 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, h_ref, rstd_ref,
     rstd = jnp.where(mask[:, :1], rstd_ref[0], 0.0)
 
     # GELU backward: dh = dy * gelu'(h).
-    _, phi_cdf = _gelu_parts(h)
-    dh = dy * (phi_cdf + h * (jnp.exp(-0.5 * h * h) * _INV_SQRT_2PI))
+    dh = dy * _dgelu(h)
     dh = jnp.where(mask, dh, 0.0)
 
     # LayerNorm backward (stats re-derived from h: xhat = (h - beta)/gamma).

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .gelu_dropout_pallas import _gelu_parts, _INV_SQRT_2PI
+from .gelu_dropout_pallas import _dgelu, _gelu_parts
 
 _TILE = 512  # rows per grid step
 _EPS = 1e-5  # default; call sites thread the model's layer_norm_eps through
@@ -70,8 +70,7 @@ def _bwd_kernel(x_ref, g_ref, b_ref, dy_ref, dx_ref, dg_ref, db_ref, acc,
     g = dy_ref[0].astype(jnp.float32)
     if apply_gelu:
         z = n * gamma + b_ref[...].astype(jnp.float32)
-        _, phi_cdf = _gelu_parts(z)
-        g = g * (phi_cdf + z * (jnp.exp(-0.5 * z * z) * _INV_SQRT_2PI))
+        g = g * _dgelu(z)
 
     dn = g * gamma
     dx = (

@@ -140,6 +140,8 @@ class Wav2Vec2Setup:
             mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
             mask_feature_length=model_cfg.get("mask_feature_length", 64),
             attention_impl=model_cfg.get("attention_impl", "pallas"),
+            fused_fe_conv=bool(model_cfg.get("fused_fe_conv", True)),
+            encoder_ln_impl=model_cfg.get("encoder_ln_impl", "pallas"),
         )
         self.model = Wav2Vec2ForCTC(
             self.model_config,
