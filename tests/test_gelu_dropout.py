@@ -24,6 +24,24 @@ def test_erf_approximation_accuracy():
     assert np.max(np.abs(got - ref)) < 1e-6
 
 
+def test_polynomial_gelu_pieces_wide_range():
+    """The kernels' minimax polynomials for Phi and gelu' (FMA-only, no
+    exp/divide) vs the exact functions over [-9, 9] — covering both fit
+    intervals AND the clamp/saturation tails."""
+    import math
+
+    from coral_tpu.ops.gelu_dropout_pallas import _dgelu, _phi
+
+    xs = np.linspace(-9, 9, 200001, dtype=np.float64)
+    phi_ref = 0.5 * (1.0 + np.asarray([math.erf(v / math.sqrt(2)) for v in xs]))
+    phi_got = np.asarray(_phi(jnp.asarray(xs, jnp.float32)), np.float64)
+    # gelu = x * Phi is what the forward kernels emit.
+    assert np.max(np.abs(xs * phi_got - xs * phi_ref)) < 2e-6
+    dgelu_ref = phi_ref + xs * np.exp(-0.5 * xs * xs) / math.sqrt(2 * math.pi)
+    dgelu_got = np.asarray(_dgelu(jnp.asarray(xs, jnp.float32)), np.float64)
+    assert np.max(np.abs(dgelu_got - dgelu_ref)) < 1e-6
+
+
 def test_rate_zero_is_exact_gelu():
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((2, 40, 64)), jnp.float32
