@@ -77,6 +77,9 @@ class WhisperConfig:
     # Encoder self-attention backend: "flash" (blocked Pallas kernel; wins at
     # the encoder's T=1500) or "xla". Decoder/cross attention always use XLA.
     encoder_attention_impl: str = "flash"
+    # Train-path LayerNorms: "xla" or "pallas" (ops/ln_gelu_pallas.ln_fused).
+    # The decode path keeps plain XLA LN (per-token shapes don't tile).
+    ln_impl: str = "xla"
     # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
     remat_policy: str = "save_matmul_inputs"
 
@@ -267,6 +270,15 @@ def _layer_norm(p: dict, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
     return (out * p["scale"] + p["bias"]).astype(x.dtype)
 
 
+def _train_layer_norm(p: dict, x: jnp.ndarray, config) -> jnp.ndarray:
+    """Train-path LN: optionally the one-pass Pallas kernel (ln_impl)."""
+    if getattr(config, "ln_impl", "xla") == "pallas" and x.shape[-1] % 128 == 0:
+        from ..ops.ln_gelu_pallas import ln_fused
+
+        return ln_fused(x, p["scale"], p["bias"]).astype(x.dtype)
+    return _layer_norm(p, x)
+
+
 def _dropout(rng, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
     if deterministic or rate == 0.0:
         return x
@@ -409,13 +421,15 @@ def encode(
     def layer(x, inputs):
         lp, lrng = inputs
         h = checkpoint_name(
-            _layer_norm(lp["self_attn_layer_norm"], x), "attn_in"
+            _train_layer_norm(lp["self_attn_layer_norm"], x, config), "attn_in"
         )
         x = x + _attention(
             lp["self_attn"], h, h, n_heads, dtype,
             impl=getattr(config, "encoder_attention_impl", "flash"),
         )
-        h = checkpoint_name(_layer_norm(lp["final_layer_norm"], x), "ffn_in")
+        h = checkpoint_name(
+            _train_layer_norm(lp["final_layer_norm"], x, config), "ffn_in"
+        )
         h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
@@ -499,14 +513,17 @@ def decode_train(
     def layer(x, inputs):
         lp, lrng = inputs
         h = checkpoint_name(
-            _layer_norm(lp["self_attn_layer_norm"], x), "attn_in"
+            _train_layer_norm(lp["self_attn_layer_norm"], x, config), "attn_in"
         )
         x = x + _attention(lp["self_attn"], h, h, n_heads, dtype, is_causal=True)
         h = checkpoint_name(
-            _layer_norm(lp["encoder_attn_layer_norm"], x), "cross_in"
+            _train_layer_norm(lp["encoder_attn_layer_norm"], x, config),
+            "cross_in",
         )
         x = x + _attention(lp["encoder_attn"], h, encoder_out, n_heads, dtype)
-        h = checkpoint_name(_layer_norm(lp["final_layer_norm"], x), "ffn_in")
+        h = checkpoint_name(
+            _train_layer_norm(lp["final_layer_norm"], x, config), "ffn_in"
+        )
         h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
