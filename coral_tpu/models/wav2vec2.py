@@ -77,9 +77,10 @@ class Wav2Vec2Config:
     # into one Pallas pass (ops/conv_ln_gelu_pallas.py). False = XLA conv +
     # the fused LN+GELU kernel.
     fused_fe_conv: bool = True
-    # Encoder (transformer) LayerNorms: "xla" = nn.LayerNorm (XLA fuses them
-    # with the residual adds), "pallas" = the one-pass ln_fused kernel.
-    encoder_ln_impl: str = "xla"
+    # Encoder (transformer) LayerNorms: "pallas" = the one-pass ln_fused
+    # kernel (776 -> 778 audio-s/s round 3), "xla" = nn.LayerNorm (XLA fuses
+    # them with the residual adds — was the round-2 winner).
+    encoder_ln_impl: str = "pallas"
 
     @classmethod
     def xls_r_300m(cls, vocab_size: int = 46, **kw) -> "Wav2Vec2Config":
@@ -446,10 +447,10 @@ class EncoderLayer(nn.Module):
                 epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name=name
             )
         if cfg.do_stable_layer_norm:
-            # Round 2 measured the Pallas pre-LNs slightly slower (760 vs 764
-            # audio-s/s: XLA fused the LN backward with the residual adds);
-            # the encoder_ln_impl flag keeps the A/B one config away as the
-            # fusion landscape shifts.
+            # encoder_ln_impl keeps the LN A/B one config away: round 2
+            # measured pallas slightly slower (760 vs 764 — XLA fused the LN
+            # bwd with the residual adds), round 3 slightly faster (776 vs
+            # 778) after the other kernels reshaped the fusion landscape.
             x = x + Attention(cfg, name="attention")(
                 checkpoint_name(ln("layer_norm")(x), "attn_in"),
                 pad_mask, deterministic,

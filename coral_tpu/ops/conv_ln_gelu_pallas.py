@@ -24,11 +24,11 @@ This kernel computes one whole block in a single pass over the input:
   (nT rows per batch element, negligible traffic) and block-mapped
   per step, which keeps every kernel read exactly in-bounds.
 - Bias, fp32 LayerNorm stats, and exact GELU are applied in-register; only
-  the final activation ``y``, the pre-GELU normalised tensor ``h`` and the
-  per-row ``rstd`` leave the kernel (``h``/``rstd`` make the backward
-  matmul-recompute-free).
+  the final activation ``y``, the pre-affine normalised tensor ``xhat`` and
+  the per-row ``rstd`` leave the kernel (``xhat``/``rstd`` make the backward
+  matmul-recompute-free without ever dividing by gamma).
 - Backward fuses dGELU + dLN + conv-dx + conv-dW + dbias/dgamma/dbeta in one
-  pass: ``da`` is formed in-register from (h, rstd, dy), dx's even/odd rows
+  pass: ``da`` is formed in-register from (xhat, rstd, dy), dx's even/odd rows
   come from ``da @ W^T`` matmuls re-interleaved in VMEM, the cross-slab k=3
   term is emitted as a per-slab halo row added outside, and the (k, C, C)
   dW accumulates in an fp32 VMEM scratch across the whole grid (written once
@@ -101,7 +101,7 @@ def _conv_rows(even, odd, even_next, w_ref, k: int):
 
 
 def _fwd_kernel(x_ref, halo_ref, w_ref, b_ref, g_ref, beta_ref,
-                y_ref, h_ref, rstd_ref, *, k: int, eps: float):
+                y_ref, xhat_ref, rstd_ref, *, k: int, eps: float):
     even, odd = _deinterleave(x_ref[0])
     if k == 3:
         # shift(even): rows 1..TB-1 of even, then the gathered halo row
@@ -116,16 +116,21 @@ def _fwd_kernel(x_ref, halo_ref, w_ref, b_ref, g_ref, beta_ref,
     cen = acc - mu
     var = jnp.mean(cen * cen, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    h = (cen * rstd) * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(
+    # The saved LN residual is the PRE-affine normalised tensor: the backward
+    # then never divides by gamma (a zero/tiny LN scale channel would turn
+    # (h - beta)/gamma into NaN/Inf gradients where the XLA path stays
+    # finite), and h is one FMA away.
+    xhat = cen * rstd
+    h = xhat * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(
         jnp.float32
     )
     y, _ = _gelu_parts(h)
     y_ref[0] = y.astype(y_ref.dtype)
-    h_ref[0] = h.astype(h_ref.dtype)
+    xhat_ref[0] = xhat.astype(xhat_ref.dtype)
     rstd_ref[0] = rstd
 
 
-def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, h_ref, rstd_ref,
+def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, xhat_ref, rstd_ref,
                 dy_ref, dx_ref, dhalo_ref, dw_ref, dvec_ref, dw_acc, dvec_acc,
                 *, k: int, n_rows: int, eps: float):
     t = pl.program_id(1)
@@ -138,7 +143,6 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, h_ref, rstd_ref,
 
     gamma = g_ref[...].astype(jnp.float32)
     beta = beta_ref[...].astype(jnp.float32)
-    h = h_ref[0].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
 
     # Rows past n_rows in the ragged last block hold pad data (on real TPUs
@@ -147,15 +151,15 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, h_ref, rstd_ref,
     # including 0 * NaN products — must be masked to true zeros.
     row = t * dy.shape[0] + jax.lax.broadcasted_iota(jnp.int32, dy.shape, 0)
     mask = row < n_rows
-    h = jnp.where(mask, h, 0.0)
+    xhat = jnp.where(mask, xhat_ref[0].astype(jnp.float32), 0.0)
     rstd = jnp.where(mask[:, :1], rstd_ref[0], 0.0)
+    h = xhat * gamma + beta
 
     # GELU backward: dh = dy * gelu'(h).
     dh = dy * _dgelu(h)
     dh = jnp.where(mask, dh, 0.0)
 
-    # LayerNorm backward (stats re-derived from h: xhat = (h - beta)/gamma).
-    xhat = jnp.where(mask, (h - beta) / gamma, 0.0)
+    # LayerNorm backward (xhat saved pre-affine — no divide by gamma).
     dvec_acc[0, :] += jnp.sum(dh * xhat, axis=0)   # dgamma
     dvec_acc[1, :] += jnp.sum(dh, axis=0)          # dbeta
     dn = dh * gamma
@@ -233,7 +237,7 @@ def _fwd_pallas(x, w, b, gamma, beta, k, eps, interpret):
         B, T_out, C, k
     )
     halo = _gather_halo(x, nT)
-    y, h, rstd = pl.pallas_call(
+    y, xhat, rstd = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, eps=eps),
         grid=(B, nT),
         in_specs=[x_spec, halo_spec, w_spec, vec_spec, vec_spec, vec_spec],
@@ -245,10 +249,10 @@ def _fwd_pallas(x, w, b, gamma, beta, k, eps, interpret):
         ],
         interpret=interpret,
     )(x, halo, w, b, gamma, beta)
-    return y, h, rstd
+    return y, xhat, rstd
 
 
-def _bwd_pallas(x, w, gamma, beta, h, rstd, dy, k, eps, interpret):
+def _bwd_pallas(x, w, gamma, beta, xhat, rstd, dy, k, eps, interpret):
     """Returns (dx, dw_rows (B,k,C,C) fp32, dvec_rows (B,3,C) fp32).
 
     Weight-grad partials are per batch row (reduced by the caller with plain
@@ -256,7 +260,7 @@ def _bwd_pallas(x, w, gamma, beta, h, rstd, dy, k, eps, interpret):
     ``ln_gelu_pallas._bwd_pallas``).
     """
     B, T_in, C = x.shape
-    T_out = h.shape[1]
+    T_out = xhat.shape[1]
     nT, x_spec, halo_spec, w_spec, vec_spec, out_spec, rstd_spec = _grid_specs(
         B, T_out, C, k
     )
@@ -282,7 +286,7 @@ def _bwd_pallas(x, w, gamma, beta, h, rstd, dy, k, eps, interpret):
             pltpu.VMEM((3, C), jnp.float32),
         ],
         interpret=interpret,
-    )(x, halo, w, gamma, beta, h, rstd, dy)
+    )(x, halo, w, gamma, beta, xhat, rstd, dy)
     if k == 3:
         # Slab t's last output row drives input row 2*_TB*(t+1); that lands
         # in slab t+1's first row. The last slab never spills on the kernel
@@ -331,11 +335,7 @@ def _halo_fixup(dx, dhalo, n_fix, interpret):
 # ---------------------------------------------------------------------------
 
 
-def _batch_only(sharding, mesh, ndim):
-    spec = [None] * ndim
-    if isinstance(sharding, NamedSharding) and len(sharding.spec):
-        spec[0] = sharding.spec[0]
-    return NamedSharding(mesh, P(*spec))
+from .ln_gelu_pallas import _row_only as _batch_only  # noqa: E402
 
 
 @functools.lru_cache(maxsize=None)
@@ -375,8 +375,8 @@ def _fwd_cp(k, eps, interpret):
 @functools.lru_cache(maxsize=None)
 def _bwd_cp(k, eps, interpret):
     f = custom_partitioning(
-        lambda x, w, g, beta, h, rstd, dy: _bwd_pallas(
-            x, w, g, beta, h, rstd, dy, k, eps, interpret
+        lambda x, w, g, beta, xhat, rstd, dy: _bwd_pallas(
+            x, w, g, beta, xhat, rstd, dy, k, eps, interpret
         )
     )
 
@@ -390,8 +390,8 @@ def _bwd_cp(k, eps, interpret):
         sh4 = _batch_only(arg_infos[0].sharding, mesh, 4)
         sh2 = _batch_only(arg_infos[0].sharding, mesh, 2)
         rep1 = NamedSharding(mesh, P(None))
-        lower = lambda x, w, g, beta, h, rstd, dy: _bwd_pallas(  # noqa: E731
-            x, w, g, beta, h, rstd, dy, k, eps, interpret
+        lower = lambda x, w, g, beta, xhat, rstd, dy: _bwd_pallas(  # noqa: E731
+            x, w, g, beta, xhat, rstd, dy, k, eps, interpret
         )
         return (
             mesh, lower, (sh3, sh4, sh3),
@@ -432,14 +432,14 @@ def _conv_ln_gelu(x, w, b, gamma, beta, k, eps, interpret):
 
 
 def _conv_ln_gelu_fwd(x, w, b, gamma, beta, k, eps, interpret):
-    y, h, rstd = _fwd_cp(k, eps, interpret)(x, w, b, gamma, beta)
-    return y, (x, w, gamma, beta, h, rstd)
+    y, xhat, rstd = _fwd_cp(k, eps, interpret)(x, w, b, gamma, beta)
+    return y, (x, w, gamma, beta, xhat, rstd)
 
 
 def _conv_ln_gelu_bwd(k, eps, interpret, res, dy):
-    x, w, gamma, beta, h, rstd = res
+    x, w, gamma, beta, xhat, rstd = res
     dx, dw_rows, dvec_rows = _bwd_cp(k, eps, interpret)(
-        x, w, gamma, beta, h, rstd, dy
+        x, w, gamma, beta, xhat, rstd, dy
     )
     # Batch reductions as plain XLA: under a sharded batch GSPMD inserts the
     # cross-shard psum here (same pattern as ln_gelu_pallas).

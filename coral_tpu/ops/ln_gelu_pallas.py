@@ -17,8 +17,8 @@ direction in one pass:
   with an ordinary psum — both pallas calls stay embarrassingly
   batch-parallel for custom_partitioning.
 
-GELU is the exact (erf) variant via the shared Abramowitz-Stegun
-approximation (``ops/gelu_dropout_pallas._erf``). Off-TPU composes plain ops.
+GELU is the exact (erf) variant via the shared clamped minimax polynomials
+(``ops/gelu_dropout_pallas._phi``/``_dgelu``). Off-TPU composes plain ops.
 """
 
 from __future__ import annotations

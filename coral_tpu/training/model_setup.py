@@ -150,8 +150,12 @@ class Wav2Vec2Setup:
             # layer beats full recompute and fits alongside the pallas
             # attention kernel; see models/wav2vec2.py:_REMAT_POLICIES.
             remat_policy=config.get("remat_policy", "save_matmul_inputs"),
+            # Default OFF since round 3: the fused kernels freed enough HBM
+            # for the conv intermediates (767 -> 778 audio-s/s), and the
+            # fused conv blocks emit no "conv_raw" checkpoint name, so the
+            # FE remat policy would replay the whole fused stack anyway.
             remat_feature_encoder=bool(
-                config.get("remat_feature_encoder", True)
+                config.get("remat_feature_encoder", False)
             ),
         )
         self.blank_id = self.tokenizer.pad_token_id

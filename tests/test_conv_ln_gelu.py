@@ -69,6 +69,30 @@ def test_kernel_matches_xla_fwd_and_grads(k, B, T_in, C):
         )
 
 
+def test_zero_gamma_channel_keeps_gradients_finite():
+    """Round-3 review fix: the backward re-derives the LN residual from the
+    saved pre-affine xhat, never dividing by gamma — a zero LN scale channel
+    (reachable under weight decay) must not NaN the fused path's gradients."""
+    k, B, T_in, C = 3, 1, 515, 256
+    x, w, b, gamma, beta = _make(k, B, T_in, C, jnp.float32)
+    gamma = gamma.at[7].set(0.0)
+
+    def loss(*a):
+        return jnp.sum(cg._conv_ln_gelu(*a, k, 1e-5, True).astype(jnp.float32))
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w, b, gamma, beta)
+    ref = jax.grad(
+        lambda *a: jnp.sum(cg._xla_reference(*a, k, 1e-5)), argnums=(0, 1, 2, 3, 4)
+    )(x, w, b, gamma, beta)
+    for name, a, e in zip(("dx", "dw", "db", "dgamma", "dbeta"), grads, ref):
+        assert np.all(np.isfinite(np.asarray(a))), name
+        scale = float(np.abs(np.asarray(e)).max()) + 1e-6
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(e) / scale, atol=3e-6,
+            err_msg=name,
+        )
+
+
 def test_exact_fit_shapes_route_to_xla():
     # T_out a multiple of _TB with input rows past the slab grid would leave
     # dx tail rows unwritten on the kernel path; the wrapper must fall back.

@@ -9,19 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from coral_tpu.ops.gelu_dropout_pallas import _erf, gelu_dropout
-
-
-def test_erf_approximation_accuracy():
-    """Abramowitz-Stegun 7.1.26 in f32: ~1.5e-7 theoretical + a few ulps of
-    f32 rounding. Anything under 1e-6 is invisible at bf16 output precision
-    (eps ~8e-3)."""
-    import math
-
-    xs = np.linspace(-5, 5, 20001, dtype=np.float64)
-    ref = np.asarray([math.erf(v) for v in xs])
-    got = np.asarray(_erf(jnp.asarray(xs, jnp.float32)), dtype=np.float64)
-    assert np.max(np.abs(got - ref)) < 1e-6
+from coral_tpu.ops.gelu_dropout_pallas import gelu_dropout
 
 
 def test_polynomial_gelu_pieces_wide_range():

@@ -44,7 +44,8 @@ def main() -> None:
     p.add_argument("--no-fused-fe", action="store_true",
                    help="XLA convs + LN+GELU kernel instead of the fused "
                         "conv+LN+GELU feature-encoder kernel")
-    p.add_argument("--ln", default="xla", help="encoder LN impl: xla | pallas")
+    p.add_argument("--ln", default="pallas",
+                   help="encoder LN impl: pallas | xla")
     p.add_argument("--unroll", type=int, default=1,
                    help="encoder layer-scan unroll factor (24 = fully static)")
     p.add_argument("--label-len", type=int, default=128)
