@@ -218,6 +218,7 @@ class Wav2Vec2Setup:
             freeze_feature_encoder=self.freeze_feature_encoder,
             augment=augment,
             noise_bank=noise_bank,
+            grad_dtype=self.config.get("grad_dtype", None),
         )
 
     def make_predictor(self, mesh, param_sharding) -> Callable:

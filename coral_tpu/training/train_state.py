@@ -57,6 +57,7 @@ def make_ctc_train_step(
     freeze_feature_encoder: bool = False,
     augment: bool = False,
     noise_bank=None,
+    grad_dtype: str | None = None,
 ) -> Callable:
     """Build the train step for a CTC model.
 
@@ -115,6 +116,22 @@ def make_ctc_train_step(
         # (4,) uint32, threefry (2,)).
         rngs = jax.random.split(rng, (num_micro, 3))
 
+        # grad_dtype="bfloat16": differentiate w.r.t. a bf16 copy of the
+        # params, so every gradient buffer — including the scan-stacked
+        # (L, ...) dW writes, the hottest DUS traffic in the step — is bf16;
+        # the f32 master params live in `state.params` and the optimizer
+        # update runs in f32 (DeepSpeed bf16 grad-reduction semantics, which
+        # the reference uses through ZeRO-2; compute already casts params to
+        # bf16, so the forward is unchanged).
+        if grad_dtype is not None:
+            work_params = jax.tree.map(
+                lambda p: p.astype(grad_dtype)
+                if p.dtype == jnp.float32 else p,
+                state.params,
+            )
+        else:
+            work_params = state.params
+
         grad_fn = jax.value_and_grad(microbatch_loss)
 
         if num_micro == 1:
@@ -122,21 +139,29 @@ def make_ctc_train_step(
             # full gradient tree (~58 ms/step for 300M params on v5e).
             mb = jax.tree.map(lambda x: x[0], batch)
             loss, grads = grad_fn(
-                state.params, mb, rngs[0, 0], rngs[0, 1], rngs[0, 2]
+                work_params, mb, rngs[0, 0], rngs[0, 1], rngs[0, 2]
             )
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         else:
             def accum_step(carry, inputs):
                 loss_sum, grad_sum = carry
                 mb, step_rngs = inputs
                 mb_loss, mb_grads = grad_fn(
-                    state.params, mb, step_rngs[0], step_rngs[1], step_rngs[2]
+                    work_params, mb, step_rngs[0], step_rngs[1], step_rngs[2]
                 )
+                # Accumulate across microbatches in f32 regardless of the
+                # per-microbatch gradient dtype.
                 return (
                     loss_sum + mb_loss,
-                    jax.tree.map(jnp.add, grad_sum, mb_grads),
+                    jax.tree.map(
+                        lambda s, g: s + g.astype(jnp.float32),
+                        grad_sum, mb_grads,
+                    ),
                 ), None
 
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
             )

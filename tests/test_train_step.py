@@ -121,6 +121,42 @@ def test_grad_accumulation_equivalence(setup):
     assert all(jax.tree.leaves(same))
 
 
+def test_bf16_grad_buffers_track_f32(setup):
+    """grad_dtype=bfloat16 (DeepSpeed-style bf16 grad reduction, f32 master
+    params) must keep params f32, loss identical, and the update within bf16
+    rounding of the f32-grad step; accumulation still sums in f32."""
+    mesh, config, model, params, tx, schedule = setup
+    rng = np.random.default_rng(7)
+    batch = make_batch(rng, accum=2, batch=8)
+    key = jax.random.PRNGKey(11)
+
+    states = {}
+    for gd in (None, "bfloat16"):
+        step_fn = make_ctc_train_step(
+            model, tx, schedule, blank_id=BLANK, freeze_feature_encoder=True,
+            grad_dtype=gd,
+        )
+        st, metrics = jax.jit(step_fn)(TrainState.create(params, tx), batch, key)
+        assert np.isfinite(float(metrics["loss"]))
+        states[gd] = (st, float(metrics["loss"]))
+
+    st_f32, loss_f32 = states[None]
+    st_bf16, loss_bf16 = states["bfloat16"]
+    assert all(
+        leaf.dtype == jnp.float32 for leaf in jax.tree.leaves(st_bf16.params)
+    )
+    np.testing.assert_allclose(loss_bf16, loss_f32, rtol=2e-2)
+    # Adam normalises the gradient scale, so compare the applied updates.
+    for a, b, p0 in zip(
+        jax.tree.leaves(st_bf16.params), jax.tree.leaves(st_f32.params),
+        jax.tree.leaves(params),
+    ):
+        ua = np.asarray(a - p0, np.float64)
+        ub = np.asarray(b - p0, np.float64)
+        denom = np.abs(ub).max() + 1e-12
+        assert np.abs(ua - ub).max() / denom < 0.35
+
+
 def test_eval_step_greedy_decode(setup):
     mesh, config, model, params, tx, schedule = setup
     eval_step = make_ctc_eval_step(model)

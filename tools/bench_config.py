@@ -38,6 +38,9 @@ def main() -> None:
                    help="none | nothing_saveable | dots_saveable | "
                         "save_matmul_inputs | save_matmul_inputs_ffn")
     p.add_argument("--mu-dtype", default=None)
+    p.add_argument("--grad-dtype", default=None,
+                   help="bfloat16 = bf16 gradient buffers (f32 master "
+                        "params + f32 optimizer update)")
     p.add_argument("--fe-remat", action="store_true")
     p.add_argument("--freeze-fe", action="store_true")
     p.add_argument("--attention", default="pallas", help="pallas | xla | flash")
@@ -95,6 +98,7 @@ def main() -> None:
     train_step = make_ctc_train_step(
         model, tx, schedule, blank_id=args.vocab - 1,
         freeze_feature_encoder=args.freeze_fe,
+        grad_dtype=args.grad_dtype,
     )
 
     param_sh = jax.tree.map(lambda _: replicated(mesh), state.params)
@@ -149,6 +153,7 @@ def main() -> None:
         "batch": args.batch,
         "remat": args.remat,
         "mu_dtype": args.mu_dtype,
+        "grad_dtype": args.grad_dtype,
         "fe_remat": args.fe_remat,
         "unroll": args.unroll,
         "fused_fe": not args.no_fused_fe,
