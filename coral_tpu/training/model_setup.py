@@ -419,6 +419,7 @@ class WhisperSetup:
             gradient_checkpointing=self.gradient_checkpointing,
             augment=augment,
             noise_bank=noise_bank,
+            grad_dtype=self.config.get("grad_dtype", None),
         )
 
     def make_predictor(self, mesh, param_sharding) -> Callable:

@@ -210,6 +210,7 @@ def make_seq2seq_train_step(
     gradient_checkpointing: bool = False,
     augment: bool = False,
     noise_bank=None,
+    grad_dtype: str | None = None,
 ) -> Callable:
     """Build the Whisper train step: on-device log-mel -> encoder-decoder -> CE.
 
@@ -273,21 +274,37 @@ def make_seq2seq_train_step(
         rngs = jax.random.split(rng, num_micro)
         grad_fn = jax.value_and_grad(microbatch_loss)
 
+        # See make_ctc_train_step: bf16 gradient buffers, f32 master params.
+        if grad_dtype is not None:
+            work_params = jax.tree.map(
+                lambda p: p.astype(grad_dtype)
+                if p.dtype == jnp.float32 else p,
+                state.params,
+            )
+        else:
+            work_params = state.params
+
         if num_micro == 1:
             # No accumulation: skip the scan and the full-tree zero-init + add.
             mb = jax.tree.map(lambda x: x[0], batch)
-            loss, grads = grad_fn(state.params, mb, rngs[0])
+            loss, grads = grad_fn(work_params, mb, rngs[0])
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
         else:
             def accum_step(carry, inputs):
                 loss_sum, grad_sum = carry
                 mb, step_rng = inputs
-                mb_loss, mb_grads = grad_fn(state.params, mb, step_rng)
+                mb_loss, mb_grads = grad_fn(work_params, mb, step_rng)
                 return (
                     loss_sum + mb_loss,
-                    jax.tree.map(jnp.add, grad_sum, mb_grads),
+                    jax.tree.map(
+                        lambda s, g: s + g.astype(jnp.float32),
+                        grad_sum, mb_grads,
+                    ),
                 ), None
 
-            zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+            zero_grads = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 accum_step, (jnp.zeros(()), zero_grads), (batch, rngs)
             )
