@@ -361,6 +361,7 @@ class WhisperSetup:
         self.model_config = dataclasses.replace(
             self.model_config,
             remat_policy=model_cfg.get("remat_policy", arch_default_policy),
+            ln_impl=model_cfg.get("ln_impl", "xla"),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))
