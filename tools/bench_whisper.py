@@ -33,6 +33,8 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--remat", default=None,
                    help="nothing_saveable | save_matmul_inputs")
+    p.add_argument("--ln", default="xla", help="train-path LN: xla | pallas")
+    p.add_argument("--grad-dtype", default=None)
     p.add_argument("--profile-dir", default=None)
     args = p.parse_args()
 
@@ -45,7 +47,9 @@ def main() -> None:
     kw = {}
     if args.remat:
         kw["remat_policy"] = args.remat
-    cfg = getattr(WhisperConfig, args.arch)(dtype=jnp.bfloat16, **kw)
+    cfg = getattr(WhisperConfig, args.arch)(
+        dtype=jnp.bfloat16, ln_impl=args.ln, **kw
+    )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     tx, schedule = create_optimizer(
         learning_rate=1e-5, warmup_steps=100, max_steps=100_000,
@@ -55,6 +59,7 @@ def main() -> None:
     step = make_seq2seq_train_step(
         cfg, tx, schedule, sot_id=cfg.vocab_size - 10, pad_id=cfg.vocab_size - 9,
         chunk_length=CHUNK_S * SR, gradient_checkpointing=True,
+        grad_dtype=args.grad_dtype,
     )
 
     state_sh = jax.tree.map(lambda _: replicated(mesh), state)
@@ -100,6 +105,8 @@ def main() -> None:
     print(json.dumps({
         "arch": args.arch,
         "batch": B,
+        "ln": args.ln,
+        "grad_dtype": args.grad_dtype,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(audio_seconds / elapsed, 2),
     }))

@@ -1,0 +1,21 @@
+#!/bin/bash
+# Round-3 TPU measurement runbook — serialized single-chip runs, one config
+# per process (an OOM/compile failure cannot poison the next). Run after any
+# kernel change; each line appends a JSON result to the log.
+set -u
+cd "$(dirname "$0")/.."
+LOG=${1:-/tmp/r3_tpu_run.log}
+: > "$LOG"
+run() { echo "=== $*" >> "$LOG"; timeout 1200 "$@" >> "$LOG" 2>&1; echo "--- rc=$?" >> "$LOG"; }
+
+# 1. Mosaic kernel parity (poly GELU + conv_ln_gelu + all production kernels)
+run python tools/verify_kernels.py
+# 2. wav2vec2 bench candidates (new default stack: fused FE + pallas LN + L0 matmul)
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --grad-dtype bfloat16
+run python tools/bench_config.py --steps 12 --mu-dtype bfloat16
+# 3. whisper step A/Bs (poly GELU landed; LN + bf16 grads flagged)
+run python tools/bench_whisper.py --steps 8
+run python tools/bench_whisper.py --steps 8 --ln pallas
+run python tools/bench_whisper.py --steps 8 --ln pallas --grad-dtype bfloat16
+echo "RUNBOOK DONE" >> "$LOG"
