@@ -73,6 +73,12 @@ class Wav2Vec2Config:
     #   "flash" — blocked Pallas flash attention; only pays off at much
     #     longer sequences than 10 s clips (measured 321 vs 538 audio-s/s).
     attention_impl: str = "pallas"
+    # Save the attention forward's log-sum-exp as a VJP residual so the
+    # backward skips the softmax max/sum/divide recompute passes. Only
+    # profitable with remat policies that replay the forward anyway
+    # (nothing_saveable); named-checkpoint policies would replay the fwd
+    # kernel to rebuild the extra residual.
+    attention_save_stats: bool = False
     # Feature encoder: fuse each stride-2 conv block with its LayerNorm+GELU
     # into one Pallas pass (ops/conv_ln_gelu_pallas.py). False = XLA conv +
     # the fused LN+GELU kernel.
@@ -376,7 +382,9 @@ class Attention(nn.Module):
         if cfg.attention_impl == "pallas":
             from ..ops.attention_pallas import short_t_attention
 
-            out = short_t_attention(q, k, v, pad_mask)
+            out = short_t_attention(
+                q, k, v, pad_mask, save_stats=cfg.attention_save_stats
+            )
         elif cfg.attention_impl == "flash":
             out = _flash_attention(q, k, v, pad_mask, head_dim)
         else:

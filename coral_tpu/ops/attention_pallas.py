@@ -64,6 +64,80 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float,
         o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
 
 
+def _fwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                      sm_scale: float, head_dim: int):
+    """Forward that also writes the per-row log-sum-exp (``m + log l``) so a
+    stats-fed backward can rebuild ``p = exp(s - lse)`` in one pass, skipping
+    the max/sum reductions and the divide. One f32 column per head —
+    ~1 MB/layer at the production shapes, negligible HBM traffic."""
+    bias = bias_ref[0]
+    n_heads = q_ref.shape[2] // head_dim
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
+        k = k_ref[0, :, lanes]
+        v = v_ref[0, :, lanes]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            e.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
+        lse_ref[0, :, h] = (m + jnp.log(l))[:, 0]
+
+
+def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                      dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                      head_dim: int):
+    """Backward fed the forward's log-sum-exp: the (T, T) probability matrix
+    is rebuilt as ``exp(s - lse)`` — one fused subtract+exp pass instead of
+    the max reduction, exp, sum reduction, and divide of the stats-free
+    recompute. The matmul structure is identical to ``_bwd_kernel``."""
+    bias = bias_ref[0]
+    n_heads = q_ref.shape[2] // head_dim
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
+        k = k_ref[0, :, lanes]
+        v = v_ref[0, :, lanes]
+        do = do_ref[0, :, lanes]
+        lse = lse_ref[0, :, h][:, None]
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p = jnp.exp(s + bias - lse)
+
+        pb = p.astype(q.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        delta = jnp.sum(p * dp, axis=1, keepdims=True)
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, lanes] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, lanes] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 *, sm_scale: float, head_dim: int):
     # NOTE (round 3): two "obvious" rewrites measured SLOWER end-to-end and
@@ -78,7 +152,11 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
     n_heads = q_ref.shape[2] // head_dim
     for h in range(n_heads):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, lanes]
+        # Fold the score scale into q (a (T, d) pass) like the forward: the
+        # unscaled (T, T) ``s * sm_scale`` multiply disappears, and the scale
+        # re-enters dq/dk through (T, d)-sized epilogues. For the production
+        # d = 64 the scale is a power of two, so bf16 rounding is unchanged.
+        q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
         k = k_ref[0, :, lanes]
         v = v_ref[0, :, lanes]
         do = do_ref[0, :, lanes]
@@ -87,7 +165,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
-        s = s * sm_scale + bias
+        s = s + bias
         m = jnp.max(s, axis=1, keepdims=True)
         e = jnp.exp(s - m)
         l = jnp.sum(e, axis=1, keepdims=True)
@@ -103,11 +181,13 @@ def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
             preferred_element_type=jnp.float32,
         )
         delta = jnp.sum(p * dp, axis=1, keepdims=True)
-        ds = (p * (dp - delta) * sm_scale).astype(q.dtype)
+        # ds carries no sm_scale: dq picks it up in a (T, d) epilogue, and dk
+        # gets it for free by contracting against the already-scaled q.
+        ds = (p * (dp - delta)).astype(q.dtype)
         dq = jax.lax.dot_general(
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        ) * sm_scale
         dk = jax.lax.dot_general(
             ds, q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -178,6 +258,53 @@ def _bwd_pallas(q, k, v, bias, do, sm_scale, head_dim, interpret):
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         interpret=interpret,
     )(q, k, v, bias, do)
+
+
+def _lse_spec(T, H, groups):
+    # lse is (B, T, H): one f32 column per head, lane-grouped like q/k/v.
+    return pl.BlockSpec((1, T, H // groups), lambda b, g: (b, 0, g))
+
+
+def _fwd_pallas_stats(q, k, v, bias, sm_scale, head_dim, interpret):
+    B, T, HD = q.shape
+    H = HD // head_dim
+    groups = _head_groups(
+        HD, head_dim, n_blocks=5, T=T, itemsize=q.dtype.itemsize
+    )
+    qkv_spec, bias_spec = _specs(T, HD, groups)
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_stats, sm_scale=sm_scale, head_dim=head_dim
+        ),
+        grid=(B, groups),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=[qkv_spec, _lse_spec(T, H, groups)],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
+def _bwd_pallas_stats(q, k, v, bias, do, lse, sm_scale, head_dim, interpret):
+    B, T, HD = q.shape
+    H = HD // head_dim
+    groups = _head_groups(
+        HD, head_dim, n_blocks=8, T=T, itemsize=q.dtype.itemsize
+    )
+    qkv_spec, bias_spec = _specs(T, HD, groups)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_stats, sm_scale=sm_scale, head_dim=head_dim
+        ),
+        grid=(B, groups),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec,
+                  _lse_spec(T, H, groups)],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, bias, do, lse)
 
 
 # ---------------------------------------------------------------------------
@@ -273,6 +400,76 @@ def _bwd_cp(sm_scale, head_dim, interpret):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_stats_cp(sm_scale, head_dim, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bias: _fwd_pallas_stats(
+            q, k, v, bias, sm_scale, head_dim, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        return (sh, sh)  # lse's head axis shards like o's lane axis
+
+    def partition(mesh, arg_infos, result_infos):
+        out_sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        batch_spec = out_sh.spec[0]
+        arg_shs = (
+            out_sh, out_sh, out_sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+        )
+        lower = functools.partial(
+            _fwd_pallas_stats, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
+        )
+        return mesh, lower, (out_sh, out_sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b t h, b t h, b t h, b u t -> b t h, b t e",
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_stats_cp(sm_scale, head_dim, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bias, do, lse: _bwd_pallas_stats(
+            q, k, v, bias, do, lse, sm_scale, head_dim, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        batch_spec = sh.spec[0]
+        arg_shs = (
+            sh, sh, sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+            sh, sh,
+        )
+        lower = functools.partial(
+            _bwd_pallas_stats, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
+        )
+        return mesh, lower, (sh, sh, sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b t h, b t h, b t h, b u t, b t h, b t e -> "
+            "b t h, b t h, b t h"
+        ),
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attention(q, k, v, bias, sm_scale, head_dim, interpret):
     o, _ = _attention_fwd(q, k, v, bias, sm_scale, head_dim, interpret)
@@ -293,6 +490,28 @@ def _attention_bwd(sm_scale, head_dim, interpret, res, do):
 _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_stats(q, k, v, bias, sm_scale, head_dim, interpret):
+    o, _ = _attention_stats_fwd(q, k, v, bias, sm_scale, head_dim, interpret)
+    return o
+
+
+def _attention_stats_fwd(q, k, v, bias, sm_scale, head_dim, interpret):
+    o, lse = _fwd_stats_cp(sm_scale, head_dim, interpret)(q, k, v, bias)
+    return o, (q, k, v, bias, lse)
+
+
+def _attention_stats_bwd(sm_scale, head_dim, interpret, res, do):
+    q, k, v, bias, lse = res
+    dq, dk, dv = _bwd_stats_cp(sm_scale, head_dim, interpret)(
+        q, k, v, bias, do, lse
+    )
+    return dq, dk, dv, None
+
+
+_attention_stats.defvjp(_attention_stats_fwd, _attention_stats_bwd)
+
+
 def short_t_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -300,6 +519,7 @@ def short_t_attention(
     pad_mask: jnp.ndarray,
     sm_scale: float | None = None,
     interpret: bool | None = None,
+    save_stats: bool = False,
 ) -> jnp.ndarray:
     """Bidirectional attention with k-side padding, fused for short T.
 
@@ -309,6 +529,13 @@ def short_t_attention(
         sm_scale: score scale; default ``d ** -0.5``.
         interpret: run the Pallas interpreter (for CPU tests). Defaults to
             True off-TPU.
+        save_stats: also save the forward's per-row log-sum-exp as a VJP
+            residual so the backward rebuilds ``p = exp(s - lse)`` in one
+            pass (skips the max/sum/divide recompute). Only profitable under
+            remat policies that replay the forward anyway (nothing_saveable):
+            under named-checkpoint policies the extra residual is not a
+            policy-saved value, which would force a forward replay (the
+            round-3 ``o``-residual lesson).
 
     Returns:
         (B, T, H, d) attention outputs, same dtype as ``q``.
@@ -324,5 +551,6 @@ def short_t_attention(
     # summed loss.
     bias = jnp.where(pad_mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
     flat = lambda x: x.reshape(B, T, H * d)  # noqa: E731
-    o = _attention(flat(q), flat(k), flat(v), bias, sm_scale, d, interpret)
+    fn = _attention_stats if save_stats else _attention
+    o = fn(flat(q), flat(k), flat(v), bias, sm_scale, d, interpret)
     return o.reshape(B, T, H, d)

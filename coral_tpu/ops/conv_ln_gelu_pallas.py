@@ -41,6 +41,7 @@ stats), so CPU tests exercise identical semantics.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -51,7 +52,10 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .gelu_dropout_pallas import _dgelu, _gelu_parts
 
-_TB = 256      # output rows per grid step (input slab = 2*TB rows)
+# Output rows per grid step (input slab = 2*TB rows). 256 is the measured
+# round-3 optimum (512 overflows the 16 MB scoped VMEM in the backward);
+# env-overridable so tools/bench_config.py sweeps can probe without edits.
+_TB = int(os.environ.get("CORAL_FE_TB", "256"))
 _HALO = 16     # halo fixup block sublanes (>= bf16 min tile)
 
 

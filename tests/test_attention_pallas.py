@@ -64,6 +64,52 @@ def test_gradients_match_xla(qkv):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_save_stats_variant_matches_plain(qkv):
+    """The lse-residual variant must match the stats-free kernel exactly on
+    values and the XLA path on gradients (the bwd rebuilds p = exp(s - lse)
+    in one pass instead of recomputing max/sum/divide)."""
+    q, k, v, pad = qkv
+    out = short_t_attention(q, k, v, pad, save_stats=True)
+    ref = _xla_reference(q, k, v, pad)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.sin(fn(q, k, v)) * jnp.cos(q))
+
+    g_stats = jax.grad(
+        lambda q, k, v: loss(
+            lambda a, b, c: short_t_attention(a, b, c, pad, save_stats=True),
+            q, k, v,
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: loss(lambda a, b, c: _xla_reference(a, b, c, pad),
+                             q, k, v),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_stats, g_ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_save_stats_fully_masked_row_stays_finite():
+    """lse for an all-masked row is m + log(sum exp(-1e30 - m)) — finite by
+    the -1e30 (not -inf) bias; the bwd must stay finite too."""
+    B, T, H, d = 2, 16, 2, 8
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+        for _ in range(3)
+    )
+    pad = jnp.asarray([[True] * T, [False] * T])
+    out = short_t_attention(q, k, v, pad, save_stats=True)
+    assert np.all(np.isfinite(np.asarray(out)))
+    g = jax.grad(
+        lambda q: jnp.sum(short_t_attention(q, k, v, pad, save_stats=True))
+    )(q)
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
 def test_padding_is_ignored(qkv):
     """Values beyond a row's length must not influence its output."""
     q, k, v, pad = qkv

@@ -44,6 +44,10 @@ def main() -> None:
     p.add_argument("--fe-remat", action="store_true")
     p.add_argument("--freeze-fe", action="store_true")
     p.add_argument("--attention", default="pallas", help="pallas | xla | flash")
+    p.add_argument("--attn-stats", action="store_true",
+                   help="save the attention fwd log-sum-exp as a residual "
+                        "(one-pass p rebuild in bwd; pair with "
+                        "remat=nothing_saveable)")
     p.add_argument("--no-fused-fe", action="store_true",
                    help="XLA convs + LN+GELU kernel instead of the fused "
                         "conv+LN+GELU feature-encoder kernel")
@@ -76,7 +80,7 @@ def main() -> None:
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=args.vocab, dtype=jnp.bfloat16,
         attention_impl=args.attention, fused_fe_conv=not args.no_fused_fe,
-        encoder_ln_impl=args.ln,
+        encoder_ln_impl=args.ln, attention_save_stats=args.attn_stats,
     )
     model = Wav2Vec2ForCTC(
         config,

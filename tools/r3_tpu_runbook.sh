@@ -14,6 +14,8 @@ run python tools/verify_kernels.py
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --grad-dtype bfloat16
 run python tools/bench_config.py --steps 12 --mu-dtype bfloat16
+# 2b. attention-bwd stats residual (pairs with nothing_saveable replay)
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --attn-stats
 # 3. whisper step A/Bs (poly GELU landed; LN + bf16 grads flagged)
 run python tools/bench_whisper.py --steps 8
 run python tools/bench_whisper.py --steps 8 --ln pallas

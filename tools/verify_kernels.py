@@ -72,6 +72,15 @@ def verify_attention_pallas():
     for name, a, b in zip(("dq", "dk", "dv"), g_fused, g_ref):
         check(f"backward {name}", a, b, atol=1.0, rtol=2e-2)
 
+    # save_stats variant: lse residual from the fwd, one-pass p rebuild in bwd
+    stats = jax.jit(
+        lambda q, k, v: short_t_attention(q, k, v, mask, save_stats=True)
+    )
+    check("save_stats forward", stats(q, k, v), ref(q, k, v), atol=2e-2)
+    g_stats = jax.jit(jax.grad(loss(stats), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g_stats, g_ref):
+        check(f"save_stats backward {name}", a, b, atol=1.0, rtol=2e-2)
+
 
 def verify_ln_gelu():
     """Fused LayerNorm(+GELU) fwd/bwd (feature-encoder kernel) vs XLA."""
