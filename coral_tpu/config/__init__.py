@@ -20,11 +20,30 @@ from __future__ import annotations
 
 import copy
 import datetime as _dt
+import os
 import re
 from pathlib import Path
 from typing import Any, Iterator
 
 import yaml
+
+# Honor an explicit JAX_PLATFORMS=cpu from the environment. Stock JAX reads
+# the env var itself, but the axon TPU-tunnel site overrides it at
+# interpreter start (its ambient default is JAX_PLATFORMS=axon), so a user's
+# `JAX_PLATFORMS=cpu python scripts/...` would still initialise the remote
+# backend — which hangs hard when the tunnel is down. Every CLI entry point
+# imports this module before first backend use; translating a NON-axon env
+# value into the config flag here restores the documented behaviour. The
+# ambient "axon" value is never re-applied: an explicit in-process
+# jax.config.update("jax_platforms", ...) (tests, dryrun children) must win.
+_env_platforms = os.environ.get("JAX_PLATFORMS")
+if _env_platforms and "axon" not in _env_platforms.split(","):
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _env_platforms)
+    except Exception:  # pragma: no cover - already-initialised backend
+        pass
 
 __all__ = [
     "DictConfig",
