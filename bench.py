@@ -86,8 +86,9 @@ def w2v2_train_flops_per_sample(config, audio_len: int, label_len: int) -> float
     )
     return 3.0 * fwd_flops
 
-# Bench shape: 32 x 10s clips per step (throughput saturates at B>=32 on v5e).
-BATCH = 32
+# Bench shape: 48 x 10s clips per step (best measured round-3 point; B=32
+# saturates the MXU but 48 amortises the per-step fixed costs further).
+BATCH = 48
 SECONDS = 10
 SR = 16_000
 ACCUM = 1
@@ -113,19 +114,20 @@ def main() -> None:
     mesh = create_mesh()
 
     # Winning v5e configuration (tools/bench_config.py sweeps, rounds 2-3):
-    # pallas short-T attention (lane-sliced heads, no layout copies) +
-    # save-matmul-inputs remat + fused dropout + bf16 first Adam moment +
-    # fused GELU+dropout + fused feature-encoder LayerNorm+GELU: 537 -> 764
-    # audio-s/s/chip at B=32 (round 2). Round 3: feature-encoder remat OFF
-    # (the memory the round-2 kernels freed now covers the conv
-    # intermediates; skipping the conv re-forward is worth ~+12 a/s/s).
+    # pallas short-T attention (lane-sliced heads, no layout copies) + fused
+    # GELU+dropout + fused feature-encoder conv+LN+GELU + pallas encoder LNs
+    # + bf16 first Adam moment. Round-3 sweep: full-replay remat
+    # (nothing_saveable) at B=48 beats save_matmul_inputs at B=32 (793 vs
+    # 778 audio-s/s) — the fused kernels made the replayed forward cheap
+    # enough that skipping the stacked-activation traffic wins; feature-
+    # encoder remat OFF (the freed HBM covers the conv intermediates).
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas"
     )
     model = Wav2Vec2ForCTC(
         config,
         gradient_checkpointing=True,
-        remat_policy="save_matmul_inputs",
+        remat_policy="nothing_saveable",
         remat_feature_encoder=False,
     )
 
