@@ -53,9 +53,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from .gelu_dropout_pallas import _dgelu, _gelu_parts
 
 # Output rows per grid step (input slab = 2*TB rows). 256 is the measured
-# round-3 optimum (512 overflows the 16 MB scoped VMEM in the backward);
+# round-3 optimum under the default 16 MB scoped-VMEM compiler limit;
 # env-overridable so tools/bench_config.py sweeps can probe without edits.
+# For TB > 256 the pallas calls raise vmem_limit_bytes (v5e has 128 MB
+# physical VMEM; the 16 MB scope is only the compiler default), which is
+# what blocked TB=512 in round 3 (19.3 MB backward block set).
 _TB = int(os.environ.get("CORAL_FE_TB", "256"))
+_COMPILER_PARAMS = (
+    None if _TB <= 256
+    else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+)
 _HALO = 16     # halo fixup block sublanes (>= bf16 min tile)
 
 
@@ -252,6 +259,7 @@ def _fwd_pallas(x, w, b, gamma, beta, k, eps, interpret):
             jax.ShapeDtypeStruct((B, T_out, 1), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, halo, w, b, gamma, beta)
     return y, xhat, rstd
 
@@ -290,6 +298,7 @@ def _bwd_pallas(x, w, gamma, beta, xhat, rstd, dy, k, eps, interpret):
             pltpu.VMEM((3, C), jnp.float32),
         ],
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(x, halo, w, gamma, beta, xhat, rstd, dy)
     if k == 3:
         # Slab t's last output row drives input row 2*_TB*(t+1); that lands
