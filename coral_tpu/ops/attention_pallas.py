@@ -425,10 +425,18 @@ def _fwd_stats_cp(sm_scale, head_dim, interpret):
         )
         return mesh, lower, (out_sh, out_sh), arg_shs
 
+    # Compound factor (e f): the flattened head axis is e heads x f=head_dim
+    # lanes, and lse's trailing axis is the e factor alone — so a TP sharding
+    # on the lane axis propagates to lse instead of leaving it output-only
+    # (which Shardy would replicate, inserting an all-gather between the fwd
+    # and bwd custom calls).
     f.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
-        sharding_rule="b t h, b t h, b t h, b u t -> b t h, b t e",
+        sharding_rule=(
+            "b t (e f), b t (e f), b t (e f), b u t -> b t (e f), b t e"
+        ),
+        f=head_dim,
     )
     return f
 
@@ -463,9 +471,10 @@ def _bwd_stats_cp(sm_scale, head_dim, interpret):
         infer_sharding_from_operands=infer,
         partition=partition,
         sharding_rule=(
-            "b t h, b t h, b t h, b u t, b t h, b t e -> "
-            "b t h, b t h, b t h"
+            "b t (e f), b t (e f), b t (e f), b u t, b t (e f), b t e -> "
+            "b t (e f), b t (e f), b t (e f)"
         ),
+        f=head_dim,
     )
     return f
 

@@ -159,6 +159,41 @@ def test_sharded_batch_no_allgather():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+def test_save_stats_tp_sharded_no_allgather():
+    """Under head-sharded TP, the lse residual must partition with the heads
+    (compound (e f) sharding-rule factor) — an output-only factor would be
+    replicated by Shardy, inserting an all-gather between fwd and bwd."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    n = len(jax.devices())
+    if n < 4:
+        pytest.skip("needs >=4 devices")
+    devs = np.array(jax.devices()[: (n // 4) * 4]).reshape(-1, 4)
+    mesh = Mesh(devs, ("dp", "tp"))
+    B, T, H, d = 4, 24, 4, 8
+    rng = np.random.default_rng(5)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+        for _ in range(3)
+    )
+    pad = jnp.ones((B, T), bool)
+    qsh = NamedSharding(mesh, P("dp", None, "tp", None))
+    psh = NamedSharding(mesh, P("dp", None))
+    fn = jax.jit(
+        lambda q, k, v, pad: jax.grad(
+            lambda q: jnp.sum(short_t_attention(q, k, v, pad, save_stats=True))
+        )(q),
+        in_shardings=(qsh, qsh, qsh, psh),
+    )
+    hlo = fn.lower(q, k, v, pad).compile().as_text()
+    assert not re.search(r"all-gather", hlo), "lse residual was gathered"
+    g = fn(q, k, v, pad)
+    g_ref = jax.grad(
+        lambda q: jnp.sum(short_t_attention(q, k, v, pad))
+    )(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
+
+
 def test_fully_masked_row_stays_finite():
     """A row whose pad_mask is all-False (eval dummy with input_length=1)
     must produce finite output, matching the XLA path's -1e30 bias."""
