@@ -1,5 +1,8 @@
 """Tests for the Hydra-compatible config engine."""
 
+import os
+from pathlib import Path
+
 import pytest
 
 from coral_tpu.config import compose, to_container
@@ -98,3 +101,34 @@ class TestCompose:
             "asr_finetuning", overrides=["+brand_new_key=7"], config_path=config_path
         )
         assert cfg.brand_new_key == 7
+
+
+class TestPlatformEnvHandling:
+    """Importing coral_tpu.config translates an explicit non-axon
+    JAX_PLATFORMS into the config flag (the axon site overrides the env var
+    at interpreter start), but must never re-apply the ambient "axon" value —
+    an in-process jax.config.update (tests, dryrun children) has to win."""
+
+    def _run(self, env_value):
+        import subprocess
+        import sys
+
+        code = (
+            "import os, jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"  # explicit update
+            "import coral_tpu.config\n"
+            "print(jax.config.jax_platforms)\n"
+        )
+        env = dict(os.environ, JAX_PLATFORMS=env_value)
+        out = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            env=env, cwd=str(Path(__file__).parent.parent), timeout=120,
+        )
+        assert out.returncode == 0, out.stderr
+        return out.stdout.strip().splitlines()[-1]
+
+    def test_ambient_axon_value_never_reapplied(self):
+        assert self._run("axon") == "cpu"
+
+    def test_explicit_cpu_env_is_honored(self):
+        assert self._run("cpu") == "cpu"
