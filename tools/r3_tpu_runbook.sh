@@ -22,6 +22,11 @@ CORAL_FE_TB=512 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtyp
 # 2d. one B=64 retry now bf16 grads free HBM (previous failure was the axon
 # compile budget with dots_saveable/unroll confounders in the same batch)
 run python tools/bench_config.py --steps 12 --batch 64 --mu-dtype bfloat16 --grad-dtype bfloat16
+# 2e. modest scan unroll (4 blew the compile budget; 2 doubles the body only)
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --unroll 2
+# 2f. named-checkpoint remat at B=48 (the round-3 nothing_saveable win was
+# only ever compared at matched batch once)
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --remat save_matmul_inputs
 # 3. whisper step A/Bs (poly GELU landed; LN + bf16 grads flagged)
 run python tools/bench_whisper.py --steps 8
 run python tools/bench_whisper.py --steps 8 --ln pallas
