@@ -489,6 +489,15 @@ _REMAT_POLICIES = {
     "save_matmul_inputs": jax.checkpoint_policies.save_only_these_names(
         "attn_in", "q", "k", "v", "attn_ctx", "ffn_in"
     ),
+    # Save only the attention output (~49 MB/layer at B=48 x 10 s): the
+    # backward replay recomputes LNs/projections/FFN but DCEs the attention
+    # fwd kernel itself (its only consumer, out_proj, reads the saved value;
+    # the bwd kernel's q/k/v residuals come from the replayed projections).
+    # Pair with attention_save_stats=False — a live lse residual would pull
+    # the fwd kernel back into the replay.
+    "save_attn_ctx": jax.checkpoint_policies.save_only_these_names(
+        "attn_ctx"
+    ),
     # As above plus the 4x-wide FFN pre-activation: backward recomputes only
     # the softmax chain and elementwise ops.
     "save_matmul_inputs_ffn": jax.checkpoint_policies.save_only_these_names(

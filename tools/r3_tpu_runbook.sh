@@ -27,6 +27,9 @@ run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --unr
 # 2f. named-checkpoint remat at B=48 (the round-3 nothing_saveable win was
 # only ever compared at matched batch once)
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --remat save_matmul_inputs
+# 2g. save only attn_ctx: skips the attention fwd-kernel replay (~11 ms) for
+# ~49 MB/layer of traffic; keep --attn-stats OFF with this policy
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --remat save_attn_ctx
 # 3. whisper step A/Bs (poly GELU landed; LN + bf16 grads flagged)
 run python tools/bench_whisper.py --steps 8
 run python tools/bench_whisper.py --steps 8 --ln pallas
