@@ -210,7 +210,10 @@ def main() -> None:
         "mfu": round(mfu, 3),
         "peak_tflops": chip_peak_tflops(),
     }
-    result.update(bench_whisper())
+    try:
+        result.update(bench_whisper())
+    except Exception as e:  # pragma: no cover - keep the headline JSON alive
+        result["whisper_bench_error"] = f"{type(e).__name__}: {e}"[:200]
     print(json.dumps(result))
 
 
