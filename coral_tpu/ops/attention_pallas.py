@@ -72,6 +72,7 @@ def _fwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     ~1 MB/layer at the production shapes, negligible HBM traffic."""
     bias = bias_ref[0]
     n_heads = q_ref.shape[2] // head_dim
+    lse_cols = []
     for h in range(n_heads):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
@@ -89,7 +90,9 @@ def _fwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
-        lse_ref[0, :, h] = (m + jnp.log(l))[:, 0]
+        lse_cols.append(m + jnp.log(l))
+    # One full-block store instead of n_heads single-lane column writes.
+    lse_ref[0] = jnp.concatenate(lse_cols, axis=1)
 
 
 def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
