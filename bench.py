@@ -19,17 +19,11 @@ from __future__ import annotations
 import json
 import time
 
-import os
-
 import jax
 
+from coral_tpu import _platform  # noqa: F401  (JAX_PLATFORMS=cpu smoke runs)
+
 jax.config.update("jax_default_prng_impl", "rbg")  # 10x faster dropout bits
-# Honor an explicit non-axon JAX_PLATFORMS (the axon site overrides the env
-# var at interpreter start): lets `JAX_PLATFORMS=cpu python bench.py` smoke
-# off-TPU while never re-applying the ambient "axon" value.
-_env_platforms = os.environ.get("JAX_PLATFORMS")
-if _env_platforms and "axon" not in _env_platforms.split(","):
-    jax.config.update("jax_platforms", _env_platforms)
 
 import jax.numpy as jnp
 import numpy as np

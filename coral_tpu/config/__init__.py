@@ -27,23 +27,10 @@ from typing import Any, Iterator
 
 import yaml
 
-# Honor an explicit JAX_PLATFORMS=cpu from the environment. Stock JAX reads
-# the env var itself, but the axon TPU-tunnel site overrides it at
-# interpreter start (its ambient default is JAX_PLATFORMS=axon), so a user's
-# `JAX_PLATFORMS=cpu python scripts/...` would still initialise the remote
-# backend — which hangs hard when the tunnel is down. Every CLI entry point
-# imports this module before first backend use; translating a NON-axon env
-# value into the config flag here restores the documented behaviour. The
-# ambient "axon" value is never re-applied: an explicit in-process
-# jax.config.update("jax_platforms", ...) (tests, dryrun children) must win.
-_env_platforms = os.environ.get("JAX_PLATFORMS")
-if _env_platforms and "axon" not in _env_platforms.split(","):
-    import jax as _jax
-
-    try:
-        _jax.config.update("jax_platforms", _env_platforms)
-    except Exception:  # pragma: no cover - already-initialised backend
-        pass
+# Every CLI script imports this module before first backend use; the import
+# makes `JAX_PLATFORMS=cpu python scripts/...` work even though the axon
+# site overrides the env var (see coral_tpu/_platform.py).
+from coral_tpu import _platform  # noqa: F401
 
 __all__ = [
     "DictConfig",

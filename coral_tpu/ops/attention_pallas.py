@@ -90,7 +90,14 @@ def _fwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
             preferred_element_type=jnp.float32,
         )
         o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
-        lse_cols.append(m + jnp.log(l))
+        # Clamp: a fully-masked row has m = -1e30, and the backward's
+        # ``exp(s + bias - lse)`` would catastrophically cancel (both terms
+        # round to -1e30 in f32, giving p = 1 instead of 1/T — T-times
+        # inflated gradients). Clamping to -1e25 keeps the difference at
+        # ~-1e30, so such rows get p = 0: zero gradients, strictly safer
+        # than the plain path's uniform-garbage ones. Real rows always have
+        # a finite max score, so the clamp never binds for them.
+        lse_cols.append(jnp.maximum(m + jnp.log(l), -1e25))
     # One full-block store instead of n_heads single-lane column writes.
     lse_ref[0] = jnp.concatenate(lse_cols, axis=1)
 
@@ -210,7 +217,10 @@ def _head_groups(
     ``n_blocks`` double-buffered (T, HD/groups) slabs stay inside scoped
     VMEM. Starts from the measured-good ~512-lane heuristic and grows the
     group count until the budget holds, so longer sequences or wider heads
-    can't silently overflow."""
+    can't silently overflow. The save_stats variants add one (T, H/groups)
+    f32 lse block on top (~head_dim x smaller than a slab, ~0.5% of the
+    budget at production shapes) — deliberately not counted here so both
+    variants pick identical groupings."""
     candidates = [
         g for g in range(1, HD // head_dim + 1)
         if HD % g == 0 and (HD // g) % head_dim == 0

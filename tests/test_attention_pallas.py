@@ -92,9 +92,12 @@ def test_save_stats_variant_matches_plain(qkv):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
-def test_save_stats_fully_masked_row_stays_finite():
-    """lse for an all-masked row is m + log(sum exp(-1e30 - m)) — finite by
-    the -1e30 (not -inf) bias; the bwd must stay finite too."""
+def test_save_stats_fully_masked_row_grads():
+    """A fully-masked row (eval dummy) must not poison gradients: the saved
+    lse is clamped so the backward's exp(s + bias - lse) underflows to
+    p = 0 there (naive lse would cancel against the -1e30 bias and give
+    p = 1 — T-times-inflated dv). Valid rows must still match the plain
+    kernel exactly."""
     B, T, H, d = 2, 16, 2, 8
     rng = np.random.default_rng(7)
     q, k, v = (
@@ -104,10 +107,29 @@ def test_save_stats_fully_masked_row_stays_finite():
     pad = jnp.asarray([[True] * T, [False] * T])
     out = short_t_attention(q, k, v, pad, save_stats=True)
     assert np.all(np.isfinite(np.asarray(out)))
-    g = jax.grad(
-        lambda q: jnp.sum(short_t_attention(q, k, v, pad, save_stats=True))
-    )(q)
-    assert np.all(np.isfinite(np.asarray(g)))
+
+    def gr(fn, arg):
+        return jax.grad(
+            lambda a: jnp.sum(
+                fn(a if arg == 0 else q, a if arg == 1 else k,
+                   a if arg == 2 else v)
+            )
+        )((q, k, v)[arg])
+
+    stats = lambda q, k, v: short_t_attention(  # noqa: E731
+        q, k, v, pad, save_stats=True
+    )
+    plain = lambda q, k, v: short_t_attention(q, k, v, pad)  # noqa: E731
+    for arg in (0, 1, 2):
+        g_stats = np.asarray(gr(stats, arg))
+        g_plain = np.asarray(gr(plain, arg))
+        assert np.all(np.isfinite(g_stats))
+        # Valid batch row: exact parity with the stats-free kernel.
+        np.testing.assert_allclose(g_stats[0], g_plain[0], atol=1e-5)
+    # The masked row's gradients must be exactly zero in the stats kernel
+    # (p = 0 everywhere there — the plain kernel gives uniform-garbage ones).
+    for arg in (0, 1, 2):
+        assert np.all(np.asarray(gr(stats, arg))[1] == 0.0)
 
 
 def test_padding_is_ignored(qkv):

@@ -13,6 +13,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from coral_tpu import _platform  # noqa: F401  (JAX_PLATFORMS=cpu runs)
+
 import jax
 
 jax.config.update("jax_default_prng_impl", "rbg")

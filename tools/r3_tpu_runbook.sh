@@ -17,8 +17,8 @@ run python tools/bench_config.py --steps 12 --mu-dtype bfloat16
 # 2b. attention-bwd stats residual (pairs with nothing_saveable replay)
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --attn-stats
 # 2c. FE conv tile sweep (256 = round-3 default; bwd overflows VMEM at 512)
-CORAL_FE_TB=384 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16
-CORAL_FE_TB=512 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16
+run env CORAL_FE_TB=384 python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16
+run env CORAL_FE_TB=512 python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16
 # 2d. one B=64 retry now bf16 grads free HBM (previous failure was the axon
 # compile budget with dots_saveable/unroll confounders in the same batch)
 run python tools/bench_config.py --steps 12 --batch 64 --mu-dtype bfloat16 --grad-dtype bfloat16

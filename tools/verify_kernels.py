@@ -17,6 +17,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from coral_tpu import _platform  # noqa: F401  (JAX_PLATFORMS=cpu runs)
+
 import jax
 import jax.numpy as jnp
 import numpy as np
