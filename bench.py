@@ -92,7 +92,37 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
+def _backend_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe backend init in a subprocess with a hard timeout: a dead axon
+    tunnel hangs jax.devices() indefinitely, which would otherwise swallow
+    the whole bench budget with no artifact at all."""
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(len(jax.devices()))"],
+            timeout=timeout_s, capture_output=True,
+        )
+        return out.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "wav2vec2-315M CTC finetune throughput",
+            "value": 0.0,
+            "unit": "audio-sec/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "backend unreachable: jax.devices() timed out "
+                     "(axon tunnel down) — infrastructure failure, not a "
+                     "model regression",
+        }))
+        return
+
     from coral_tpu.models import Wav2Vec2Config, Wav2Vec2ForCTC
     from coral_tpu.parallel import (
         batch_sharding,
