@@ -87,6 +87,10 @@ class Wav2Vec2Config:
     # kernel (776 -> 778 audio-s/s round 3), "xla" = nn.LayerNorm (XLA fuses
     # them with the residual adds — was the round-2 winner).
     encoder_ln_impl: str = "pallas"
+    # Fuse the FFN up-projection with its GELU(+dropout) epilogue so the
+    # 4x-wide pre-activation never leaves VMEM (ops/ffn_pallas.py). False =
+    # nn.Dense + the split gelu_dropout kernel.
+    fused_ffn: bool = False
 
     @classmethod
     def xls_r_300m(cls, vocab_size: int = 46, **kw) -> "Wav2Vec2Config":
@@ -399,27 +403,62 @@ class Attention(nn.Module):
         return out
 
 
+class _DenseParams(nn.Module):
+    """Bare Dense parameters on the same tree path as ``nn.Dense`` (the
+    matmul itself runs inside a fused Pallas kernel)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return kernel, bias
+
+
 class FeedForward(nn.Module):
     config: Wav2Vec2Config
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
-        x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
-                     name="intermediate_dense")(x)
-        x = checkpoint_name(x, "ffn_hidden")
-        if cfg.activation_dropout > 0.0 and not deterministic:
-            # Fused Pallas GELU+dropout: one pass each way, mask bits
-            # generated in VMEM, backward re-seeds the same stream and
-            # recomputes gelu' in-kernel — no rng buffers or duplicate
-            # 131 MB activation tensors in HBM (ops/gelu_dropout_pallas.py).
-            from ..ops.gelu_dropout_pallas import gelu_dropout
+        if cfg.fused_ffn:
+            # Matmul + bias + GELU (+ dropout) in one kernel: the (B, T, 4F)
+            # pre-activation exists only as VMEM blocks (ops/ffn_pallas.py).
+            # Parameters keep the nn.Dense tree path.
+            from ..ops.ffn_pallas import ffn_fc1
 
-            x = gelu_dropout(
-                x, cfg.activation_dropout, self.make_rng("dropout")
+            kernel, bias = _DenseParams(
+                x.shape[-1], cfg.intermediate_size, name="intermediate_dense"
+            )()
+            rate = cfg.activation_dropout if not deterministic else 0.0
+            x = ffn_fc1(
+                x, kernel, bias, rate,
+                self.make_rng("dropout") if rate > 0.0 else None,
             )
+            x = checkpoint_name(x, "ffn_act")
         else:
-            x = jax.nn.gelu(x, approximate=False)
+            x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
+                         name="intermediate_dense")(x)
+            x = checkpoint_name(x, "ffn_hidden")
+            if cfg.activation_dropout > 0.0 and not deterministic:
+                # Fused Pallas GELU+dropout: one pass each way, mask bits
+                # generated in VMEM, backward re-seeds the same stream and
+                # recomputes gelu' in-kernel — no rng buffers or duplicate
+                # 131 MB activation tensors in HBM (ops/gelu_dropout_pallas.py).
+                from ..ops.gelu_dropout_pallas import gelu_dropout
+
+                x = gelu_dropout(
+                    x, cfg.activation_dropout, self.make_rng("dropout")
+                )
+            else:
+                x = jax.nn.gelu(x, approximate=False)
         x = nn.Dense(cfg.hidden_size, dtype=cfg.dtype, name="output_dense")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         return x
@@ -498,10 +537,12 @@ _REMAT_POLICIES = {
     "save_attn_ctx": jax.checkpoint_policies.save_only_these_names(
         "attn_ctx"
     ),
-    # As above plus the 4x-wide FFN pre-activation: backward recomputes only
-    # the softmax chain and elementwise ops.
+    # As above plus the 4x-wide FFN pre-activation ("ffn_hidden"; on the
+    # fused-FFN path the post-activation "ffn_act" plays the same role):
+    # backward recomputes only the softmax chain and elementwise ops.
     "save_matmul_inputs_ffn": jax.checkpoint_policies.save_only_these_names(
-        "attn_in", "q", "k", "v", "attn_ctx", "ffn_in", "ffn_hidden"
+        "attn_in", "q", "k", "v", "attn_ctx", "ffn_in", "ffn_hidden",
+        "ffn_act",
     ),
 }
 

@@ -80,6 +80,9 @@ class WhisperConfig:
     # Train-path LayerNorms: "xla" or "pallas" (ops/ln_gelu_pallas.ln_fused).
     # The decode path keeps plain XLA LN (per-token shapes don't tile).
     ln_impl: str = "xla"
+    # Fuse fc1 with its GELU(+dropout) epilogue on the train path so the
+    # 4x-wide pre-activation never leaves VMEM (ops/ffn_pallas.py).
+    fused_ffn: bool = False
     # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
     remat_policy: str = "save_matmul_inputs"
 
@@ -311,6 +314,19 @@ def _ffn_activation(h: jnp.ndarray, act_drop: float, lrng) -> jnp.ndarray:
     return jax.nn.gelu(h, approximate=False)
 
 
+def _ffn_up(p: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
+            config) -> jnp.ndarray:
+    """fc1 + GELU (+ activation dropout), optionally as one fused kernel."""
+    if getattr(config, "fused_ffn", False):
+        from ..ops.ffn_pallas import ffn_fc1
+
+        return ffn_fc1(
+            x.astype(dtype), p["kernel"], p["bias"], act_drop,
+            lrng if act_drop > 0.0 else None,
+        )
+    return _ffn_activation(_dense(p, x, dtype), act_drop, lrng)
+
+
 def _attention(
     p: dict,
     x_q: jnp.ndarray,
@@ -430,7 +446,7 @@ def encode(
         h = checkpoint_name(
             _train_layer_norm(lp["final_layer_norm"], x, config), "ffn_in"
         )
-        h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
+        h = _ffn_up(lp["fc1"], h, dtype, act_drop, lrng, config)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 
@@ -524,7 +540,7 @@ def decode_train(
         h = checkpoint_name(
             _train_layer_norm(lp["final_layer_norm"], x, config), "ffn_in"
         )
-        h = _ffn_activation(_dense(lp["fc1"], h, dtype), act_drop, lrng)
+        h = _ffn_up(lp["fc1"], h, dtype, act_drop, lrng, config)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 

@@ -1,0 +1,410 @@
+"""Fused FFN up-projection: matmul + bias + exact GELU (+ dropout) epilogue.
+
+The wav2vec2/whisper FFN computes ``dropout(gelu(x @ W1 + b1))`` where the
+4x-wide pre-activation ``h`` (131 MB at B=32 x 10 s, 196 MB at B=48) is the
+largest tensor in the train step. Even with the fused GELU+dropout kernel
+(``ops/gelu_dropout_pallas.py``) the step pays h's HBM round-trips five
+times: fc1 writes h and the activation kernel re-reads it, in the forward,
+in the remat replay, and once more in the backward. Reference surface:
+HF ``Wav2Vec2FeedForward`` (``src/coral/wav2vec2.py:104-126`` configures the
+model whose FFN this is).
+
+This kernel folds the activation into the matmul's epilogue so ``h`` only
+ever exists as a (TM, F) fp32 block in VMEM:
+
+- forward: grid over (batch, TM-row blocks); each step runs one full-width
+  (TM, D) @ (D, F) MXU matmul (W1 resident in VMEM across the whole grid),
+  adds the bias, applies the clamped-minimax exact GELU and the in-VMEM
+  PRNG dropout mask, and writes only the activation ``g``.
+- backward: recomputes the same (TM, F) block of ``h`` on-MXU from (x, W1),
+  re-seeds the identical mask stream, forms ``dh = dy * mask/keep *
+  gelu'(h)``, and — while dh is still in VMEM — folds in ``dx = dh @ W1^T``
+  and the bias-grad row accumulation, so only the dW1 matmul re-reads dh
+  from HBM. The only residuals are x (the remat-named ``ffn_in`` tensor)
+  and the (B,) seed vector.
+
+vs. the split fc1 + gelu_dropout path this removes h's write + 2 reads per
+pass (and the matmul's output relayout); the backward trades one extra fc1
+matmul recompute for the h read — MXU time the traffic saving more than
+covers at B>=32 (measured on the round-3 runbook).
+
+Off-TPU the public entry composes plain XLA ops (exact same math for
+rate=0; dropout uses ``jax.random`` — a different but equally-distributed
+mask stream, like the other PRNG kernels). The rate=0 kernels carry no PRNG
+and are additionally exercised under ``interpret=True`` in the CPU suite.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from .gelu_dropout_pallas import _dgelu, _gelu_parts
+
+# Rows per grid step. 256 keeps the fp32 h block at 4 MB (F=4096) and the
+# per-step matmul (256, 1024) @ (1024, 4096) large enough to run the MXU at
+# full tilt; env-overridable for tools/bench_config.py sweeps.
+_TM = int(os.environ.get("CORAL_FFN_TM", "256"))
+# W1 (8 MB bf16 at 1024x4096) + the fp32 h block push past the 16 MB scoped
+# default; physical v5e VMEM is 128 MB.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _epilogue(acc, b_ref):
+    h = acc + b_ref[...].astype(jnp.float32)
+    g, _ = _gelu_parts(h)
+    return g, h
+
+
+def _matmul(x_ref, w_ref):
+    return jax.lax.dot_general(
+        x_ref[0], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _fwd_kernel(x_ref, w_ref, b_ref, o_ref):
+    g, _ = _epilogue(_matmul(x_ref, w_ref), b_ref)
+    o_ref[0] = g.astype(o_ref.dtype)
+
+
+def _fwd_kernel_drop(seed_ref, x_ref, w_ref, b_ref, o_ref, *,
+                     threshold: int, scale: float):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    bits = pltpu.prng_random_bits(o_ref.shape[1:])
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    g, _ = _epilogue(_matmul(x_ref, w_ref), b_ref)
+    o_ref[0] = jnp.where(keep, g * scale, 0.0).astype(o_ref.dtype)
+
+
+def _bwd_epilogue(dh, w_ref, dh_ref, dx_ref, db_ref, db_acc, *, n_rows: int):
+    """Shared backward tail: write dh, fold dx = dh @ W^T and the bias-grad
+    row accumulation into the same pass (dh never re-read from HBM for
+    them; only dW still reads it outside)."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        db_acc[...] = jnp.zeros_like(db_acc)
+
+    # Rows past n_rows in the ragged last block hold pad data (out-of-bounds
+    # block reads are unspecified on real TPUs); dh/dx writes are clipped,
+    # but the db accumulator must see true zeros.
+    row = t * dh.shape[0] + jax.lax.broadcasted_iota(jnp.int32, dh.shape, 0)
+    dh = jnp.where(row < n_rows, dh, 0.0)
+    dhb = dh.astype(dh_ref.dtype)
+    dh_ref[0] = dhb
+    dx_ref[0] = jax.lax.dot_general(
+        dhb, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dx_ref.dtype)
+    db_acc[...] += jnp.sum(dh, axis=0)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        db_ref[0] = db_acc[...]
+
+
+def _bwd_kernel(x_ref, w_ref, b_ref, dy_ref, dh_ref, dx_ref, db_ref,
+                db_acc, *, n_rows: int):
+    _, h = _epilogue(_matmul(x_ref, w_ref), b_ref)
+    dy = dy_ref[0].astype(jnp.float32)
+    _bwd_epilogue(dy * _dgelu(h), w_ref, dh_ref, dx_ref, db_ref, db_acc,
+                  n_rows=n_rows)
+
+
+def _bwd_kernel_drop(seed_ref, x_ref, w_ref, b_ref, dy_ref, dh_ref, dx_ref,
+                     db_ref, db_acc, *, threshold: int, scale: float,
+                     n_rows: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    bits = pltpu.prng_random_bits(dh_ref.shape[1:])
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    _, h = _epilogue(_matmul(x_ref, w_ref), b_ref)
+    dy = dy_ref[0].astype(jnp.float32)
+    dh = jnp.where(keep, dy * scale * _dgelu(h), 0.0)
+    _bwd_epilogue(dh, w_ref, dh_ref, dx_ref, db_ref, db_acc, n_rows=n_rows)
+
+
+def _specs(D, F):
+    x_spec = pl.BlockSpec((1, _TM, D), lambda b, t: (b, t, 0))
+    w_spec = pl.BlockSpec((D, F), lambda b, t: (0, 0))
+    b_spec = pl.BlockSpec((F,), lambda b, t: (0,))
+    out_spec = pl.BlockSpec((1, _TM, F), lambda b, t: (b, t, 0))
+    return x_spec, w_spec, b_spec, out_spec
+
+
+def _fwd_pallas(x, w, b, seeds, rate, interpret):
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    in_specs = [x_spec, w_spec, b_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _fwd_kernel_drop, threshold=threshold, scale=scale
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b)
+    else:
+        kernel = _fwd_kernel
+        args = (x, w, b)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, F), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+
+
+def _bwd_pallas(x, w, b, dy, seeds, rate, interpret):
+    """Returns (dh, dx, db_rows): dh for the outside dW matmul, dx and the
+    per-batch bias-grad rows folded into the same kernel pass."""
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    in_specs = [x_spec, w_spec, b_spec, out_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _bwd_kernel_drop, threshold=threshold, scale=scale, n_rows=T
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b, dy)
+    else:
+        kernel = functools.partial(_bwd_kernel, n_rows=T)
+        args = (x, w, b, dy)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=[
+            out_spec,
+            x_spec,
+            pl.BlockSpec((1, F), lambda b, t: (b, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),
+            jax.ShapeDtypeStruct((B, F), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((F,), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+
+
+# ---------------------------------------------------------------------------
+# custom_partitioning: batch dim follows x, F dim follows W1's column
+# sharding (tensor-parallel fc1 is column-sharded, parallel/tp.py:39-41);
+# each shard runs the kernel on its local F slice. The mask stream is a
+# function of (per-batch seed, row-block), so column shards of the same rows
+# draw identical bits — same documented delta as the split kernel.
+# ---------------------------------------------------------------------------
+
+
+def _spec_dim(sharding, dim):
+    if isinstance(sharding, NamedSharding) and len(sharding.spec) > dim:
+        return sharding.spec[dim]
+    return None
+
+
+def _shardings(mesh, x_info, w_info, with_seeds):
+    batch = _spec_dim(x_info.sharding, 0)
+    col = _spec_dim(w_info.sharding, 1)
+    out_sh = NamedSharding(mesh, P(batch, None, col))
+    x_sh = NamedSharding(mesh, P(batch, None, None))
+    w_sh = NamedSharding(mesh, P(None, col))
+    b_sh = NamedSharding(mesh, P(col))
+    arg_sh = (x_sh, w_sh, b_sh)
+    if with_seeds:
+        arg_sh = (NamedSharding(mesh, P(batch)),) + arg_sh
+    return out_sh, arg_sh
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_cp(rate, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b: _fwd_pallas(  # noqa: E731
+            x, w, b, seeds, rate, interpret
+        )
+        rule = "b, b t d, d f, f -> b t f"
+    else:
+        fn = lambda x, w, b: _fwd_pallas(  # noqa: E731
+            x, w, b, None, rate, interpret
+        )
+        rule = "b t d, d f, f -> b t f"
+    f = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        xi, wi = (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+        return _shardings(mesh, xi, wi, with_seeds)[0]
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+        out_sh, arg_sh = _shardings(mesh, xi, wi, with_seeds)
+        return mesh, fn, out_sh, arg_sh
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
+def _bwd_shardings(mesh, x_info, w_info):
+    batch = _spec_dim(x_info.sharding, 0)
+    col = _spec_dim(w_info.sharding, 1)
+    return (
+        NamedSharding(mesh, P(batch, None, col)),   # dh
+        NamedSharding(mesh, P(batch, None, None)),  # dx
+        NamedSharding(mesh, P(batch, col)),         # db_rows
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_cp(rate, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, dy: _bwd_pallas(  # noqa: E731
+            x, w, b, dy, seeds, rate, interpret
+        )
+        rule = "b, b t d, d f, f, b t f -> b t f, b t d, b f"
+    else:
+        fn = lambda x, w, b, dy: _bwd_pallas(  # noqa: E731
+            x, w, b, dy, None, rate, interpret
+        )
+        rule = "b t d, d f, f, b t f -> b t f, b t d, b f"
+    f = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        xi, wi = (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+        return _bwd_shardings(mesh, xi, wi)
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+        out_sh = _bwd_shardings(mesh, xi, wi)
+        arg_sh = _shardings(mesh, xi, wi, with_seeds)[1]
+        col = _spec_dim(wi.sharding, 1)
+
+        def lower(*a):
+            dh, dx, db_rows = fn(*a)
+            if col is not None:
+                # Column-sharded W1 (tensor parallel): each shard's in-kernel
+                # dx = dh @ W^T contracts only its local F slice.
+                dx = jax.lax.psum(dx, col)
+            return dh, dx, db_rows
+
+        return mesh, lower, out_sh, arg_sh + (out_sh[0],)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _ffn_fc1(x, w, b, seeds, rate, interpret):
+    if rate > 0.0:
+        return _fwd_cp(rate, interpret, True)(seeds, x, w, b)
+    return _fwd_cp(rate, interpret, False)(x, w, b)
+
+
+def _ffn_fc1_fwd(x, w, b, seeds, rate, interpret):
+    return _ffn_fc1(x, w, b, seeds, rate, interpret), (x, w, b, seeds)
+
+
+def _ffn_fc1_bwd(rate, interpret, res, dy):
+    x, w, b, seeds = res
+    if rate > 0.0:
+        dh, dx, db_rows = _bwd_cp(rate, interpret, True)(seeds, x, w, b, dy)
+    else:
+        dh, dx, db_rows = _bwd_cp(rate, interpret, False)(x, w, b, dy)
+    # dx and the bias-grad rows come out of the kernel itself (dh reused in
+    # VMEM); only dW still reads dh, as a plain XLA matmul. Under a sharded
+    # batch GSPMD inserts the cross-shard psum on dw/db; under TP the column
+    # shards each own their dW1 slice (dh is column-sharded to match).
+    dw = jax.lax.dot_general(
+        x, dh, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    db = jnp.sum(db_rows, axis=0)
+    return dx, dw, db, None
+
+
+_ffn_fc1.defvjp(_ffn_fc1_fwd, _ffn_fc1_bwd)
+
+
+def _xla_reference(x, w, b, rate, rng):
+    h = jax.lax.dot_general(
+        x, w.astype(x.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b.astype(jnp.float32)
+    g = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    if rate == 0.0:
+        return g
+    keep = jax.random.bernoulli(rng, 1.0 - rate, g.shape)
+    return jnp.where(keep, g / jnp.asarray(1.0 - rate, g.dtype),
+                     jnp.zeros_like(g))
+
+
+def ffn_fc1(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    rate: float = 0.0,
+    rng: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``dropout(gelu(x @ w + b), rate)`` with the pre-activation VMEM-only.
+
+    Args:
+        x: (B, T, D) FFN input (the remat-named ``ffn_in`` tensor).
+        w: (D, F) up-projection weight (column-sharded under TP).
+        b: (F,) bias.
+        rate: activation-dropout probability in [0, 1).
+        rng: PRNG key, required when ``rate > 0``.
+        interpret: run the Pallas interpreter off-TPU (rate=0 only; the
+            PRNG variants have no interpreter path).
+
+    Returns:
+        (B, T, F) activations in ``x.dtype``.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu
+    D, F = w.shape
+    if (interpret and rate > 0.0) or D % 128 != 0 or F % 128 != 0:
+        return _xla_reference(x, w, b, rate, rng)
+    if rate > 0.0:
+        seeds = jax.random.bits(rng, (x.shape[0],), jnp.uint32).astype(
+            jnp.int32
+        )
+    else:
+        seeds = jnp.zeros((x.shape[0],), jnp.int32)
+    return _ffn_fc1(x, w.astype(x.dtype), b, seeds, float(rate), interpret)

@@ -142,6 +142,7 @@ class Wav2Vec2Setup:
             attention_impl=model_cfg.get("attention_impl", "pallas"),
             fused_fe_conv=bool(model_cfg.get("fused_fe_conv", True)),
             encoder_ln_impl=model_cfg.get("encoder_ln_impl", "pallas"),
+            fused_ffn=bool(model_cfg.get("fused_ffn", False)),
         )
         self.model = Wav2Vec2ForCTC(
             self.model_config,
@@ -362,6 +363,7 @@ class WhisperSetup:
             self.model_config,
             remat_policy=model_cfg.get("remat_policy", arch_default_policy),
             ln_impl=model_cfg.get("ln_impl", "xla"),
+            fused_ffn=bool(model_cfg.get("fused_ffn", False)),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))

@@ -1,0 +1,201 @@
+"""Tests for the fused FFN up-projection kernel (ops/ffn_pallas.py).
+
+The rate=0 kernels carry no TPU PRNG, so the real Pallas code runs here
+under ``interpret=True`` — forward and the full custom-VJP chain are pinned
+against the composed-XLA reference. Dropout variants are TPU-only (the
+composed fallback covers semantics off-TPU; mask-stream consistency runs in
+tools/verify_kernels.py on hardware).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from coral_tpu.ops.ffn_pallas import _xla_reference, ffn_fc1
+
+
+def _data(B=2, T=70, D=128, F=256, dtype=jnp.float32, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), dtype)
+    w = jnp.asarray(rng.standard_normal((D, F)) * 0.05, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((F,)) * 0.1, jnp.float32)
+    return x, w, b
+
+
+def test_interpret_forward_matches_xla():
+    x, w, b = _data()
+    got = ffn_fc1(x, w, b, interpret=True)
+    ref = _xla_reference(x, w, b, 0.0, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_interpret_forward_ragged_rows():
+    # T far from a multiple of the 256-row tile: clipped writes must cover
+    # exactly the real rows.
+    x, w, b = _data(T=301)
+    got = ffn_fc1(x, w, b, interpret=True)
+    ref = _xla_reference(x, w, b, 0.0, None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_interpret_grads_match_xla():
+    x, w, b = _data(T=130)
+
+    def loss(fn):
+        def inner(x, w, b):
+            y = fn(x, w, b)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got = jax.grad(
+        loss(lambda x, w, b: ffn_fc1(x, w, b, interpret=True)),
+        argnums=(0, 1, 2),
+    )(x, w, b)
+    ref = jax.grad(
+        loss(lambda x, w, b: _xla_reference(x, w, b, 0.0, None)),
+        argnums=(0, 1, 2),
+    )(x, w, b)
+    for g, r, name in zip(got, ref, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_bf16_path_compiles_and_is_close():
+    x, w, b = _data(dtype=jnp.bfloat16)
+    got = ffn_fc1(x, w, b, interpret=True)
+    assert got.dtype == jnp.bfloat16
+    ref = _xla_reference(x.astype(jnp.float32), w, b, 0.0, None)
+    np.testing.assert_allclose(
+        np.asarray(got, jnp.float32), np.asarray(ref), atol=0.05, rtol=0.05
+    )
+
+
+def test_dropout_fallback_statistics():
+    x, w, b = _data(T=200)
+    y = ffn_fc1(x, w, b, rate=0.25, rng=jax.random.PRNGKey(0))
+    kept = np.asarray(y) != 0
+    assert abs(kept.mean() - 0.75) < 0.03
+    base = np.asarray(_xla_reference(x, w, b, 0.0, None))
+    np.testing.assert_allclose(
+        np.asarray(y)[kept], (base / 0.75)[kept], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_dropout_fallback_grad_mask_matches_forward():
+    x, w, b = _data(T=64)
+    key = jax.random.PRNGKey(3)
+    y = ffn_fc1(x, w, b, rate=0.5, rng=key)
+    dw = jax.grad(
+        lambda w: jnp.sum(ffn_fc1(x, w, b, rate=0.5, rng=key))
+    )(w)
+    assert np.isfinite(np.asarray(dw)).all()
+    # Same key -> same mask on the fallback path.
+    y2 = ffn_fc1(x, w, b, rate=0.5, rng=key)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y2))
+
+
+def test_model_param_tree_and_output_parity():
+    """fused_ffn=True keeps the exact nn.Dense param tree and matches the
+    unfused FFN output when dropout is off."""
+    from coral_tpu.models.wav2vec2 import FeedForward, Wav2Vec2Config
+
+    cfg_args = dict(hidden_size=128, intermediate_size=256)
+    x = jnp.asarray(
+        np.random.default_rng(1).standard_normal((2, 20, 128)), jnp.float32
+    )
+    outs, params = [], []
+    for fused in (False, True):
+        cfg = Wav2Vec2Config(fused_ffn=fused, **cfg_args)
+        mod = FeedForward(cfg)
+        p = mod.init(jax.random.PRNGKey(0), x, True)
+        params.append(p)
+        outs.append(mod.apply(p, x, True))
+    assert jax.tree_util.tree_structure(params[0]) == (
+        jax.tree_util.tree_structure(params[1])
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(params[0]),
+                    jax.tree_util.tree_leaves(params[1])):
+        assert a.shape == b.shape and a.dtype == b.dtype
+    np.testing.assert_allclose(
+        np.asarray(outs[0]), np.asarray(outs[1]), atol=2e-5
+    )
+
+
+def test_whisper_fused_ffn_parity():
+    """fused_ffn=True leaves the whisper train forward unchanged (off-TPU
+    both paths draw the same jax.random dropout mask from the same key)."""
+    import dataclasses
+
+    from coral_tpu.models.whisper import (
+        WhisperConfig,
+        forward,
+        init_whisper_params,
+    )
+
+    cfg = WhisperConfig.tiny_test(vocab_size=64, max_source_positions=100)
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(
+        rng.standard_normal((2, 200, cfg.num_mel_bins)), jnp.float32
+    )
+    ids = jnp.asarray(rng.integers(0, 64, size=(2, 9)), jnp.int32)
+    outs = []
+    for fused in (False, True):
+        c = dataclasses.replace(cfg, fused_ffn=fused)
+        outs.append(
+            forward(params, c, mel, ids, deterministic=False,
+                    rng=jax.random.PRNGKey(7))
+        )
+    np.testing.assert_allclose(
+        np.asarray(outs[0]), np.asarray(outs[1]), atol=2e-5
+    )
+
+
+def test_sharded_grads_match_single_device():
+    """Batch-sharded fused op == unsharded (custom_partitioning psum on
+    dw/db)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w, b = _data(B=4, T=96)
+
+    def loss(x, w, b):
+        return jnp.sum(jnp.abs(ffn_fc1(x, w, b, interpret=True)))
+
+    ref = jax.grad(loss, argnums=(1, 2))(x, w, b)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    got = jax.jit(jax.grad(loss, argnums=(1, 2)))(xs, w, b)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-4
+        )
+
+
+def test_tensor_parallel_grads_match_single_device():
+    """Column-sharded W1 (TP): the in-kernel dx picks up the model-axis psum
+    in the partition lowering."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w, b = _data(B=2, T=96)
+
+    def loss(x, w, b):
+        return jnp.sum(jnp.abs(ffn_fc1(x, w, b, interpret=True)))
+
+    ref = jax.grad(loss, argnums=(0, 1, 2))(x, w, b)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    bs = jax.device_put(b, NamedSharding(mesh, P("model")))
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(xs, ws, bs)
+    for g, r, name in zip(got, ref, "x w b".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )

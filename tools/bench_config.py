@@ -55,6 +55,9 @@ def main() -> None:
                         "conv+LN+GELU feature-encoder kernel")
     p.add_argument("--ln", default="pallas",
                    help="encoder LN impl: pallas | xla")
+    p.add_argument("--fused-ffn", action="store_true",
+                   help="fuse the FFN up-projection with its GELU+dropout "
+                        "epilogue (ops/ffn_pallas.py)")
     p.add_argument("--unroll", type=int, default=1,
                    help="encoder layer-scan unroll factor (24 = fully static)")
     p.add_argument("--label-len", type=int, default=128)
@@ -83,6 +86,7 @@ def main() -> None:
         vocab_size=args.vocab, dtype=jnp.bfloat16,
         attention_impl=args.attention, fused_fe_conv=not args.no_fused_fe,
         encoder_ln_impl=args.ln, attention_save_stats=args.attn_stats,
+        fused_ffn=args.fused_ffn,
     )
     model = Wav2Vec2ForCTC(
         config,
@@ -163,6 +167,7 @@ def main() -> None:
         "fe_remat": args.fe_remat,
         "unroll": args.unroll,
         "fused_fe": not args.no_fused_fe,
+        "fused_ffn": args.fused_ffn,
         "ln": args.ln,
         "freeze_fe": args.freeze_fe,
         "step_ms": round(elapsed / args.steps * 1000, 1),

@@ -37,6 +37,9 @@ def main() -> None:
                    help="nothing_saveable | save_matmul_inputs")
     p.add_argument("--ln", default="xla", help="train-path LN: xla | pallas")
     p.add_argument("--grad-dtype", default=None)
+    p.add_argument("--fused-ffn", action="store_true",
+                   help="fuse fc1 with its GELU+dropout epilogue "
+                        "(ops/ffn_pallas.py)")
     p.add_argument("--profile-dir", default=None)
     args = p.parse_args()
 
@@ -50,7 +53,7 @@ def main() -> None:
     if args.remat:
         kw["remat_policy"] = args.remat
     cfg = getattr(WhisperConfig, args.arch)(
-        dtype=jnp.bfloat16, ln_impl=args.ln, **kw
+        dtype=jnp.bfloat16, ln_impl=args.ln, fused_ffn=args.fused_ffn, **kw
     )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     tx, schedule = create_optimizer(
@@ -109,6 +112,7 @@ def main() -> None:
         "batch": B,
         "ln": args.ln,
         "grad_dtype": args.grad_dtype,
+        "fused_ffn": args.fused_ffn,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(audio_seconds / elapsed, 2),
     }))

@@ -30,8 +30,16 @@ run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --rem
 # 2g. save only attn_ctx: skips the attention fwd-kernel replay (~11 ms) for
 # ~49 MB/layer of traffic; keep --attn-stats OFF with this policy
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --remat save_attn_ctx
+# 2h. fused FFN up-projection (matmul + GELU+dropout epilogue: the 4x-wide
+# pre-activation never leaves VMEM — ops/ffn_pallas.py)
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn --grad-dtype bfloat16
+run env CORAL_FFN_TM=512 python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn
+# 2i. candidate best stack: fused FFN + bf16 grads + attention lse residual
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn --grad-dtype bfloat16 --attn-stats
 # 3. whisper step A/Bs (poly GELU landed; LN + bf16 grads flagged)
 run python tools/bench_whisper.py --steps 8
 run python tools/bench_whisper.py --steps 8 --ln pallas
 run python tools/bench_whisper.py --steps 8 --ln pallas --grad-dtype bfloat16
+run python tools/bench_whisper.py --steps 8 --ln pallas --grad-dtype bfloat16 --fused-ffn
 echo "RUNBOOK DONE" >> "$LOG"

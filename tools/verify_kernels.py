@@ -192,6 +192,59 @@ def verify_gelu_dropout():
           f"{'dropout bwd mask parity':48s} leak={leak}")
 
 
+def verify_ffn_fc1():
+    """Fused FFN up-projection (matmul + GELU + dropout epilogue) vs XLA."""
+    from coral_tpu.ops.ffn_pallas import _xla_reference, ffn_fc1
+
+    print("ffn_pallas (ffn_fc1):")
+    rng = np.random.default_rng(8)
+    B, T, D, F = 4, 499, 1024, 4096  # ragged last row-tile on purpose
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((D, F)) * D ** -0.5, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    fused = jax.jit(lambda x, w, b: ffn_fc1(x, w, b, interpret=False))
+    plain = jax.jit(lambda x, w, b: _xla_reference(x, w, b, 0.0, None))
+    ref0 = plain(x, w, b)
+    check("rate=0 forward", fused(x, w, b), ref0, atol=2e-2)
+    loss = lambda f: lambda *a: jnp.sum(  # noqa: E731
+        f(*a).astype(jnp.float32) ** 2)
+    gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(x, w, b)
+    gr = jax.jit(jax.grad(loss(plain), argnums=(0, 1, 2)))(x, w, b)
+    for name, a, bb in zip(("dx", "dw", "db"), gf, gr):
+        check(f"rate=0 backward {name}", a, bb, atol=1.0, rtol=2e-2)
+
+    rate = 0.1
+    drop = jax.jit(lambda x, w, b: ffn_fc1(x, w, b, rate, key,
+                                           interpret=False))
+    y = np.asarray(drop(x, w, b).astype(jnp.float32))
+    kept = y != 0.0
+    frac = kept.mean()
+    ok_frac = abs(frac - (1 - rate)) < 0.01
+    (PASS if ok_frac else FAIL).append("ffn dropout keep fraction")
+    print(f"  {'PASS' if ok_frac else 'FAIL'}  "
+          f"{'dropout keep fraction':48s} got={frac:.4f} want~{1 - rate}")
+    ref_scaled = np.asarray(ref0.astype(jnp.float32)) / (1 - rate)
+    check("dropout kept values scaled", np.where(kept, y, 0.0),
+          np.where(kept, ref_scaled, 0.0), atol=3e-2)
+    # Mask re-seed parity fwd vs bwd: with w = I the op is exactly
+    # dropout(gelu(x)) and dx == dh, so dropped cells must have dx == 0.
+    De = 512
+    xi = jnp.asarray(rng.standard_normal((2, 499, De)), jnp.float32)
+    wi = jnp.eye(De, dtype=jnp.float32)
+    bi = jnp.zeros((De,), jnp.float32)
+    di = jax.jit(lambda x: ffn_fc1(x, wi, bi, rate, key, interpret=False))
+    yi = np.asarray(di(xi))
+    dxi = np.asarray(jax.jit(jax.grad(lambda x: jnp.sum(di(x))))(xi))
+    dropped = yi == 0.0
+    near_flat = np.abs(np.asarray(xi)) > 4  # gelu' ~ 0 deep negative tail
+    ok_mask = bool(np.all((dxi == 0) | ~dropped | near_flat))
+    (PASS if ok_mask else FAIL).append("ffn dropout bwd mask parity")
+    print(f"  {'PASS' if ok_mask else 'FAIL'}  "
+          f"{'dropout bwd mask parity (w = I)':48s}")
+
+
 def verify_ctc():
     """Pallas CTC recursion vs the lax.scan implementation, fwd + grads."""
     from coral_tpu.ops.ctc import ctc_loss
@@ -309,6 +362,7 @@ def main():
     verify_ln_gelu()
     verify_conv_ln_gelu()
     verify_gelu_dropout()
+    verify_ffn_fc1()
     verify_ctc()
     verify_flash()
     verify_decode_attention()
