@@ -83,6 +83,8 @@ class WhisperConfig:
     # Fuse fc1 with its GELU(+dropout) epilogue on the train path so the
     # 4x-wide pre-activation never leaves VMEM (ops/ffn_pallas.py).
     fused_ffn: bool = False
+    # Additionally fold the pre-FFN LayerNorm into the same kernel.
+    fused_ffn_ln: bool = False
     # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
     remat_policy: str = "save_matmul_inputs"
 
@@ -327,6 +329,28 @@ def _ffn_up(p: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
     return _ffn_activation(_dense(p, x, dtype), act_drop, lrng)
 
 
+def _ffn_block(lp: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
+               config) -> jnp.ndarray:
+    """Pre-FFN LayerNorm + fc1 + GELU (+ dropout); with ``fused_ffn_ln`` the
+    whole chain runs in one kernel and "ffn_in" names the pre-LN stream."""
+    if getattr(config, "fused_ffn_ln", False) and getattr(
+        config, "fused_ffn", False
+    ):
+        from ..ops.ffn_pallas import ffn_ln_fc1
+
+        lnp = lp["final_layer_norm"]
+        return ffn_ln_fc1(
+            checkpoint_name(x, "ffn_in").astype(dtype),
+            lp["fc1"]["kernel"], lp["fc1"]["bias"],
+            lnp["scale"], lnp["bias"], act_drop,
+            lrng if act_drop > 0.0 else None,
+        )
+    h = checkpoint_name(
+        _train_layer_norm(lp["final_layer_norm"], x, config), "ffn_in"
+    )
+    return _ffn_up(lp["fc1"], h, dtype, act_drop, lrng, config)
+
+
 def _attention(
     p: dict,
     x_q: jnp.ndarray,
@@ -443,10 +467,7 @@ def encode(
             lp["self_attn"], h, h, n_heads, dtype,
             impl=getattr(config, "encoder_attention_impl", "flash"),
         )
-        h = checkpoint_name(
-            _train_layer_norm(lp["final_layer_norm"], x, config), "ffn_in"
-        )
-        h = _ffn_up(lp["fc1"], h, dtype, act_drop, lrng, config)
+        h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 
@@ -537,10 +558,7 @@ def decode_train(
             "cross_in",
         )
         x = x + _attention(lp["encoder_attn"], h, encoder_out, n_heads, dtype)
-        h = checkpoint_name(
-            _train_layer_norm(lp["final_layer_norm"], x, config), "ffn_in"
-        )
-        h = _ffn_up(lp["fc1"], h, dtype, act_drop, lrng, config)
+        h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
         x = x + _dense(lp["fc2"], h, dtype)
         return x, None
 

@@ -70,6 +70,20 @@ def _matmul(x_ref, w_ref):
     )
 
 
+def _ln_rows(x, gamma_ref, beta_ref, eps):
+    """fp32 row LayerNorm; returns (ln_out fp32, xhat, rstd)."""
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    cen = x - mu
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = cen * rstd
+    ln = xhat * gamma_ref[...].astype(jnp.float32) + beta_ref[...].astype(
+        jnp.float32
+    )
+    return ln, xhat, rstd
+
+
 def _fwd_kernel(x_ref, w_ref, b_ref, o_ref):
     g, _ = _epilogue(_matmul(x_ref, w_ref), b_ref)
     o_ref[0] = g.astype(o_ref.dtype)
@@ -134,6 +148,110 @@ def _bwd_kernel_drop(seed_ref, x_ref, w_ref, b_ref, dy_ref, dh_ref, dx_ref,
     dy = dy_ref[0].astype(jnp.float32)
     dh = jnp.where(keep, dy * scale * _dgelu(h), 0.0)
     _bwd_epilogue(dh, w_ref, dh_ref, dx_ref, db_ref, db_acc, n_rows=n_rows)
+
+
+def _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps):
+    ln, xhat, rstd = _ln_rows(x_ref[0], g_ref, bt_ref, eps)
+    ln_b = ln.astype(x_ref.dtype)  # bf16 matmul operand, fwd == bwd exactly
+    acc = jax.lax.dot_general(
+        ln_b, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return acc, ln_b, xhat, rstd
+
+
+def _fwd_kernel_ln(x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref, *, eps: float):
+    acc, _, _, _ = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, _ = _epilogue(acc, b_ref)
+    o_ref[0] = g.astype(o_ref.dtype)
+
+
+def _fwd_kernel_ln_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref,
+                        *, threshold: int, scale: float, eps: float):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    bits = pltpu.prng_random_bits(o_ref.shape[1:])
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    acc, _, _, _ = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, _ = _epilogue(acc, b_ref)
+    o_ref[0] = jnp.where(keep, g * scale, 0.0).astype(o_ref.dtype)
+
+
+def _bwd_ln_epilogue(dh, ln_b, xhat, rstd, w_ref, g_ref,
+                     dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, *, n_rows: int):
+    """LN-fused backward tail: write dh and ln_out (the dW1 operand), fold
+    dx (through the LayerNorm), and accumulate db/dgamma/dbeta rows."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        db_acc[...] = jnp.zeros_like(db_acc)
+        dvec_acc[...] = jnp.zeros_like(dvec_acc)
+
+    # Ragged last block: pad rows hold unspecified data; dh/dx/ln writes are
+    # clipped, but everything feeding the accumulators must be true zeros
+    # (0 * NaN would poison them), including xhat from NaN pad input.
+    row = t * dh.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (dh.shape[0], 1), 0
+    )
+    mask = row < n_rows  # (TM, 1) row mask, broadcasts over F and D
+    dh = jnp.where(mask, dh, 0.0)
+    xhat = jnp.where(mask, xhat, 0.0)
+    dhb = dh.astype(dh_ref.dtype)
+    dh_ref[0] = dhb
+    ln_ref[0] = ln_b
+    db_acc[...] += jnp.sum(dh, axis=0)
+
+    # d(ln_out), then the LayerNorm backward — all row-local.
+    dl = jax.lax.dot_general(
+        dhb, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dvec_acc[0, :] += jnp.sum(dl * xhat, axis=0)  # dgamma
+    dvec_acc[1, :] += jnp.sum(dl, axis=0)         # dbeta
+    dn = dl * g_ref[...].astype(jnp.float32)
+    dx = (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dn * xhat, axis=-1, keepdims=True)
+    ) * rstd
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        db_ref[0] = db_acc[...]
+        dvec_ref[0] = dvec_acc[...]
+
+
+def _bwd_kernel_ln(x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref,
+                   dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                   db_acc, dvec_acc, *, eps: float, n_rows: int):
+    acc, ln_b, xhat, rstd = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    _, h = _epilogue(acc, b_ref)
+    dy = dy_ref[0].astype(jnp.float32)
+    _bwd_ln_epilogue(dy * _dgelu(h), ln_b, xhat, rstd, w_ref, g_ref,
+                     dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, n_rows=n_rows)
+
+
+def _bwd_kernel_ln_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref,
+                        dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                        db_acc, dvec_acc, *, threshold: int, scale: float,
+                        eps: float, n_rows: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    bits = pltpu.prng_random_bits(dh_ref.shape[1:])
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    acc, ln_b, xhat, rstd = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    _, h = _epilogue(acc, b_ref)
+    dy = dy_ref[0].astype(jnp.float32)
+    dh = jnp.where(keep, dy * scale * _dgelu(h), 0.0)
+    _bwd_ln_epilogue(dh, ln_b, xhat, rstd, w_ref, g_ref,
+                     dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, n_rows=n_rows)
 
 
 def _specs(D, F):
@@ -204,6 +322,81 @@ def _bwd_pallas(x, w, b, dy, seeds, rate, interpret):
             jax.ShapeDtypeStruct((B, F), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((F,), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+
+
+def _fwd_pallas_ln(x, w, b, gamma, beta, seeds, rate, eps, interpret):
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    in_specs = [x_spec, w_spec, b_spec, d_spec, d_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _fwd_kernel_ln_drop, threshold=threshold, scale=scale, eps=eps
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b, gamma, beta)
+    else:
+        kernel = functools.partial(_fwd_kernel_ln, eps=eps)
+        args = (x, w, b, gamma, beta)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, F), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+
+
+def _bwd_pallas_ln(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
+    """Returns (dh, dx, ln_out, db_rows, dvec_rows): ln_out feeds the
+    outside dW1 matmul; dvec_rows stacks per-batch (dgamma, dbeta)."""
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    in_specs = [x_spec, w_spec, b_spec, d_spec, d_spec, out_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _bwd_kernel_ln_drop, threshold=threshold, scale=scale, eps=eps,
+            n_rows=T,
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b, gamma, beta, dy)
+    else:
+        kernel = functools.partial(_bwd_kernel_ln, eps=eps, n_rows=T)
+        args = (x, w, b, gamma, beta, dy)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=[
+            out_spec,
+            x_spec,
+            x_spec,
+            pl.BlockSpec((1, F), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, 2, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),   # dh
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),   # dx
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),   # ln_out
+            jax.ShapeDtypeStruct((B, F), jnp.float32),  # db rows
+            jax.ShapeDtypeStruct((B, 2, D), jnp.float32),  # dgamma/dbeta rows
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((F,), jnp.float32),
+            pltpu.VMEM((2, D), jnp.float32),
+        ],
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
@@ -328,6 +521,142 @@ def _bwd_cp(rate, interpret, with_seeds):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_ln_cp(rate, eps, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, g, bt: _fwd_pallas_ln(  # noqa: E731
+            x, w, b, g, bt, seeds, rate, eps, interpret
+        )
+        rule = "b, b t d, d f, f, d, d -> b t f"
+    else:
+        fn = lambda x, w, b, g, bt: _fwd_pallas_ln(  # noqa: E731
+            x, w, b, g, bt, None, rate, eps, interpret
+        )
+        rule = "b t d, d f, f, d, d -> b t f"
+    f = custom_partitioning(fn)
+
+    def args_xw(arg_infos):
+        return (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, *args_xw(arg_infos), with_seeds)[0]
+
+    def partition(mesh, arg_infos, result_infos):
+        out_sh, arg_sh = _shardings(mesh, *args_xw(arg_infos), with_seeds)
+        rep_d = NamedSharding(mesh, P(None))
+        return mesh, fn, out_sh, arg_sh + (rep_d, rep_d)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
+def _bwd_ln_shardings(mesh, x_info, w_info):
+    batch = _spec_dim(x_info.sharding, 0)
+    col = _spec_dim(w_info.sharding, 1)
+    return (
+        NamedSharding(mesh, P(batch, None, col)),    # dh
+        NamedSharding(mesh, P(batch, None, None)),   # dx
+        NamedSharding(mesh, P(batch, None, None)),   # ln_out
+        NamedSharding(mesh, P(batch, col)),          # db rows
+        NamedSharding(mesh, P(batch, None, None)),   # dgamma/dbeta rows
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_ln_cp(rate, eps, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, g, bt, dy: _bwd_pallas_ln(  # noqa: E731
+            x, w, b, g, bt, dy, seeds, rate, eps, interpret
+        )
+        rule = "b, b t d, d f, f, d, d, b t f -> b t f, b t d, b t d, b f, b v d"
+    else:
+        fn = lambda x, w, b, g, bt, dy: _bwd_pallas_ln(  # noqa: E731
+            x, w, b, g, bt, dy, None, rate, eps, interpret
+        )
+        rule = "b t d, d f, f, d, d, b t f -> b t f, b t d, b t d, b f, b v d"
+    f = custom_partitioning(fn)
+
+    def args_xw(arg_infos):
+        return (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bwd_ln_shardings(mesh, *args_xw(arg_infos))
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = args_xw(arg_infos)
+        out_sh = _bwd_ln_shardings(mesh, xi, wi)
+        arg_sh = _shardings(mesh, xi, wi, with_seeds)[1]
+        rep_d = NamedSharding(mesh, P(None))
+        col = _spec_dim(wi.sharding, 1)
+
+        def lower(*a):
+            dh, dx, ln_out, db_rows, dvec_rows = fn(*a)
+            if col is not None:
+                # Column-sharded W1 (TP): dl = dh @ W^T contracts only the
+                # local F slice, so dx and dgamma/dbeta are partial sums.
+                dx = jax.lax.psum(dx, col)
+                dvec_rows = jax.lax.psum(dvec_rows, col)
+            return dh, dx, ln_out, db_rows, dvec_rows
+
+        return mesh, lower, out_sh, arg_sh + (rep_d, rep_d, out_sh[0])
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _ffn_ln_fc1(x, w, b, gamma, beta, seeds, rate, eps, interpret):
+    if rate > 0.0:
+        return _fwd_ln_cp(rate, eps, interpret, True)(
+            seeds, x, w, b, gamma, beta
+        )
+    return _fwd_ln_cp(rate, eps, interpret, False)(x, w, b, gamma, beta)
+
+
+def _ffn_ln_fc1_fwd(x, w, b, gamma, beta, seeds, rate, eps, interpret):
+    y = _ffn_ln_fc1(x, w, b, gamma, beta, seeds, rate, eps, interpret)
+    return y, (x, w, b, gamma, beta, seeds)
+
+
+def _ffn_ln_fc1_bwd(rate, eps, interpret, res, dy):
+    x, w, b, gamma, beta, seeds = res
+    if rate > 0.0:
+        dh, dx, ln_out, db_rows, dvec_rows = _bwd_ln_cp(
+            rate, eps, interpret, True
+        )(seeds, x, w, b, gamma, beta, dy)
+    else:
+        dh, dx, ln_out, db_rows, dvec_rows = _bwd_ln_cp(
+            rate, eps, interpret, False
+        )(x, w, b, gamma, beta, dy)
+    # Only dW1 reads dh (and the kernel-emitted ln_out) from HBM; everything
+    # else came out of the fused pass. Batch reductions stay plain jnp so
+    # GSPMD inserts the cross-shard psums.
+    dw = jax.lax.dot_general(
+        ln_out, dh, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    db = jnp.sum(db_rows, axis=0)
+    dvec = jnp.sum(dvec_rows, axis=0)
+    return dx, dw, db, dvec[0].astype(gamma.dtype), dvec[1].astype(
+        beta.dtype
+    ), None
+
+
+_ffn_ln_fc1.defvjp(_ffn_ln_fc1_fwd, _ffn_ln_fc1_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def _ffn_fc1(x, w, b, seeds, rate, interpret):
     if rate > 0.0:
@@ -373,6 +702,20 @@ def _xla_reference(x, w, b, rate, rng):
                      jnp.zeros_like(g))
 
 
+def _xla_ln(x, gamma, beta, eps):
+    x32 = x.astype(jnp.float32)
+    mu = jnp.mean(x32, axis=-1, keepdims=True)
+    cen = x32 - mu
+    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+    ln = cen * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32) \
+        + beta.astype(jnp.float32)
+    return ln.astype(x.dtype)
+
+
+def _xla_reference_ln(x, w, b, gamma, beta, rate, rng, eps):
+    return _xla_reference(_xla_ln(x, gamma, beta, eps), w, b, rate, rng)
+
+
 def ffn_fc1(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -408,3 +751,53 @@ def ffn_fc1(
     else:
         seeds = jnp.zeros((x.shape[0],), jnp.int32)
     return _ffn_fc1(x, w.astype(x.dtype), b, seeds, float(rate), interpret)
+
+
+def ffn_ln_fc1(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    rate: float = 0.0,
+    rng: jax.Array | None = None,
+    eps: float = 1e-5,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``dropout(gelu(layer_norm(x) @ w + b), rate)`` in one fused kernel.
+
+    The pre-LN transformer's FFN LayerNorm has a single consumer, so folding
+    it into the matmul kernel removes both the separate LN kernels and the
+    normalised tensor's HBM round-trips; the backward emits ``ln_out`` once
+    for the outside dW1 matmul and computes the full LN backward (dx,
+    dgamma, dbeta) in-register.
+
+    Args:
+        x: (B, T, D) pre-LN residual stream.
+        w: (D, F) up-projection weight (column-sharded under TP).
+        b: (F,) bias.
+        gamma, beta: (D,) LayerNorm affine parameters.
+        rate: activation-dropout probability in [0, 1).
+        rng: PRNG key, required when ``rate > 0``.
+        eps: LayerNorm epsilon.
+        interpret: run the Pallas interpreter off-TPU (rate=0 only).
+
+    Returns:
+        (B, T, F) activations in ``x.dtype``.
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu
+    D, F = w.shape
+    if (interpret and rate > 0.0) or D % 128 != 0 or F % 128 != 0:
+        return _xla_reference_ln(x, w, b, gamma, beta, rate, rng, eps)
+    if rate > 0.0:
+        seeds = jax.random.bits(rng, (x.shape[0],), jnp.uint32).astype(
+            jnp.int32
+        )
+    else:
+        seeds = jnp.zeros((x.shape[0],), jnp.int32)
+    return _ffn_ln_fc1(
+        x, w.astype(x.dtype), b, gamma, beta, seeds, float(rate), float(eps),
+        interpret,
+    )

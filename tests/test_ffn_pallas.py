@@ -12,7 +12,12 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from coral_tpu.ops.ffn_pallas import _xla_reference, ffn_fc1
+from coral_tpu.ops.ffn_pallas import (
+    _xla_reference,
+    _xla_reference_ln,
+    ffn_fc1,
+    ffn_ln_fc1,
+)
 
 
 def _data(B=2, T=70, D=128, F=256, dtype=jnp.float32, seed=0):
@@ -124,6 +129,130 @@ def test_model_param_tree_and_output_parity():
     )
 
 
+def test_encoder_layer_fused_ffn_ln_parity():
+    """fused_ffn_ln keeps the nn.LayerNorm tree path and matches the
+    unfused encoder layer, forward and grads (training mode: the off-TPU
+    dropout fallbacks draw the same jax.random masks from the same key)."""
+    from coral_tpu.models.wav2vec2 import EncoderLayer, Wav2Vec2Config
+
+    base = dict(
+        hidden_size=128, intermediate_size=256, num_attention_heads=2,
+        attention_impl="xla", encoder_ln_impl="xla", hidden_dropout=0.0,
+        activation_dropout=0.1,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(2).standard_normal((2, 24, 128)), jnp.float32
+    )
+    mask = jnp.ones((2, 24), bool)
+    outs, params = [], []
+    for fused in (False, True):
+        cfg = Wav2Vec2Config(fused_ffn=fused, fused_ffn_ln=fused, **base)
+        mod = EncoderLayer(cfg)
+        p = mod.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, mask, False,
+        )
+        params.append(p)
+
+        def loss(p, mod=mod):
+            y, _ = mod.apply(p, x, mask, False,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(y * jnp.sin(jnp.arange(y.shape[-1]))), y
+
+        (val, y), grads = jax.value_and_grad(loss, has_aux=True)(p)
+        outs.append((y, grads))
+    assert jax.tree_util.tree_structure(params[0]) == (
+        jax.tree_util.tree_structure(params[1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][0]), np.asarray(outs[1][0]), atol=2e-5
+    )
+    flat0 = jax.tree_util.tree_leaves_with_path(outs[0][1])
+    flat1 = jax.tree_util.tree_leaves_with_path(outs[1][1])
+    for (p0, g0), (p1, g1) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(g1), atol=5e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(p0),
+        )
+
+
+def _ln_data(B=2, T=70, D=128, F=256, seed=4):
+    rng = np.random.default_rng(seed)
+    x, w, b = _data(B, T, D, F, jnp.float32, seed)
+    gamma = jnp.asarray(rng.standard_normal(D) * 0.2 + 1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(D) * 0.2, jnp.float32)
+    return x, w, b, gamma, beta
+
+
+def test_ln_interpret_forward_matches_xla():
+    x, w, b, gamma, beta = _ln_data(T=301)  # ragged last row-tile
+    got = ffn_ln_fc1(x, w, b, gamma, beta, interpret=True)
+    ref = _xla_reference_ln(x, w, b, gamma, beta, 0.0, None, 1e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_ln_interpret_grads_match_xla():
+    x, w, b, gamma, beta = _ln_data(T=130)
+
+    def loss(fn):
+        def inner(x, w, b, gamma, beta):
+            y = fn(x, w, b, gamma, beta)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got = jax.grad(
+        loss(lambda *a: ffn_ln_fc1(*a, interpret=True)),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, w, b, gamma, beta)
+    ref = jax.grad(
+        loss(lambda *a: _xla_reference_ln(*a, 0.0, None, 1e-5)),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, w, b, gamma, beta)
+    for g, r, name in zip(got, ref, "x w b gamma beta".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_ln_custom_eps_respected():
+    x, w, b, gamma, beta = _ln_data()
+    got = ffn_ln_fc1(x, w, b, gamma, beta, eps=1e-2, interpret=True)
+    ref = _xla_reference_ln(x, w, b, gamma, beta, 0.0, None, 1e-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    bad = _xla_reference_ln(x, w, b, gamma, beta, 0.0, None, 1e-5)
+    assert np.abs(np.asarray(got) - np.asarray(bad)).max() > 1e-4
+
+
+def test_ln_tensor_parallel_grads_match_single_device():
+    """Column-sharded W1: dx AND dgamma/dbeta pick up the model-axis psum."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w, b, gamma, beta = _ln_data(T=96)
+
+    def loss(x, w, b, gamma, beta):
+        return jnp.sum(jnp.abs(ffn_ln_fc1(x, w, b, gamma, beta,
+                                          interpret=True)))
+
+    ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w, b, gamma, beta)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    bs = jax.device_put(b, NamedSharding(mesh, P("model")))
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
+        xs, ws, bs, gamma, beta
+    )
+    for g, r, name in zip(got, ref, "x w b gamma beta".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
 def test_whisper_fused_ffn_parity():
     """fused_ffn=True leaves the whisper train forward unchanged (off-TPU
     both paths draw the same jax.random dropout mask from the same key)."""
@@ -143,15 +272,16 @@ def test_whisper_fused_ffn_parity():
     )
     ids = jnp.asarray(rng.integers(0, 64, size=(2, 9)), jnp.int32)
     outs = []
-    for fused in (False, True):
-        c = dataclasses.replace(cfg, fused_ffn=fused)
+    for fused, fused_ln in ((False, False), (True, False), (True, True)):
+        c = dataclasses.replace(cfg, fused_ffn=fused, fused_ffn_ln=fused_ln)
         outs.append(
             forward(params, c, mel, ids, deterministic=False,
                     rng=jax.random.PRNGKey(7))
         )
-    np.testing.assert_allclose(
-        np.asarray(outs[0]), np.asarray(outs[1]), atol=2e-5
-    )
+    for other in outs[1:]:
+        np.testing.assert_allclose(
+            np.asarray(outs[0]), np.asarray(other), atol=2e-5
+        )
 
 
 def test_sharded_grads_match_single_device():

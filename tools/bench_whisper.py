@@ -40,6 +40,9 @@ def main() -> None:
     p.add_argument("--fused-ffn", action="store_true",
                    help="fuse fc1 with its GELU+dropout epilogue "
                         "(ops/ffn_pallas.py)")
+    p.add_argument("--fused-ffn-ln", action="store_true",
+                   help="additionally fold the pre-FFN LayerNorm into the "
+                        "fused kernel (implies --fused-ffn)")
     p.add_argument("--profile-dir", default=None)
     args = p.parse_args()
 
@@ -53,7 +56,9 @@ def main() -> None:
     if args.remat:
         kw["remat_policy"] = args.remat
     cfg = getattr(WhisperConfig, args.arch)(
-        dtype=jnp.bfloat16, ln_impl=args.ln, fused_ffn=args.fused_ffn, **kw
+        dtype=jnp.bfloat16, ln_impl=args.ln,
+        fused_ffn=args.fused_ffn or args.fused_ffn_ln,
+        fused_ffn_ln=args.fused_ffn_ln, **kw
     )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     tx, schedule = create_optimizer(
@@ -112,7 +117,8 @@ def main() -> None:
         "batch": B,
         "ln": args.ln,
         "grad_dtype": args.grad_dtype,
-        "fused_ffn": args.fused_ffn,
+        "fused_ffn": args.fused_ffn or args.fused_ffn_ln,
+        "fused_ffn_ln": args.fused_ffn_ln,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(audio_seconds / elapsed, 2),
     }))

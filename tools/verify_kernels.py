@@ -244,6 +244,24 @@ def verify_ffn_fc1():
     print(f"  {'PASS' if ok_mask else 'FAIL'}  "
           f"{'dropout bwd mask parity (w = I)':48s}")
 
+    # LN-folded variant: fwd + all five grads vs the composed reference.
+    from coral_tpu.ops.ffn_pallas import _xla_reference_ln, ffn_ln_fc1
+
+    gamma = jnp.asarray(rng.standard_normal(D) * 0.2 + 1, jnp.float32)
+    beta = jnp.asarray(rng.standard_normal(D) * 0.2, jnp.float32)
+    fused_ln = jax.jit(lambda x, w, b, g, bt: ffn_ln_fc1(
+        x, w, b, g, bt, interpret=False))
+    plain_ln = jax.jit(lambda x, w, b, g, bt: _xla_reference_ln(
+        x, w, b, g, bt, 0.0, None, 1e-5))
+    check("ln rate=0 forward", fused_ln(x, w, b, gamma, beta),
+          plain_ln(x, w, b, gamma, beta), atol=2e-2)
+    gf = jax.jit(jax.grad(loss(fused_ln), argnums=(0, 1, 2, 3, 4)))(
+        x, w, b, gamma, beta)
+    gr = jax.jit(jax.grad(loss(plain_ln), argnums=(0, 1, 2, 3, 4)))(
+        x, w, b, gamma, beta)
+    for name, a, bb in zip(("dx", "dw", "db", "dgamma", "dbeta"), gf, gr):
+        check(f"ln rate=0 backward {name}", a, bb, atol=1.0, rtol=2e-2)
+
 
 def verify_ctc():
     """Pallas CTC recursion vs the lax.scan implementation, fwd + grads."""
