@@ -91,6 +91,14 @@ class Wav2Vec2Config:
     # 4x-wide pre-activation never leaves VMEM (ops/ffn_pallas.py). False =
     # nn.Dense + the split gelu_dropout kernel.
     fused_ffn: bool = False
+    # Additionally fold the pre-FFN LayerNorm into the fused kernel (pre-LN
+    # architecture only; the LN has a single consumer). Requires fused_ffn.
+    fused_ffn_ln: bool = False
+    # Positional conv via a factor-2 space-to-depth fold: the (k, C/g -> C/g)
+    # grouped conv becomes a (k/2+1, 2C/g -> 2C/g) conv at half the sequence
+    # length — identical FLOPs but full 128-lane MXU tiles instead of the
+    # quarter tiles a 64-channel group gets (profiled at 3x its flop floor).
+    pos_conv_fold: bool = False
 
     @classmethod
     def xls_r_300m(cls, vocab_size: int = 46, **kw) -> "Wav2Vec2Config":
@@ -298,6 +306,59 @@ class FeatureProjection(nn.Module):
         return x
 
 
+def _pos_conv_folded(x, kernel, bias, groups: int, dtype):
+    """Grouped stride-1 SAME-ish conv via a factor-2 space-to-depth fold.
+
+    ``out[t] = sum_j xp[t+j] @ W[j]`` (xp = x padded by k//2 each side, last
+    output dropped — the HF even-k convention) is computed at half the
+    sequence length: with ``x2[u] = (xp[2u], xp[2u+1])`` and ``j = 2v+q``,
+
+      out[2u]   = sum_v  x2[u+v][0] W[2v]   + x2[u+v][1] W[2v+1]
+      out[2u+1] = sum_v  x2[u+v][1] W[2v]   + x2[u+v+1][0] W[2v+1]
+
+    i.e. ONE grouped conv over u with k/2+1 taps and doubled in/out channels
+    per group (the odd phase rides the output-channel axis). FLOPs are equal
+    (+1/(k/2+1) edge-tap zeros), but per-group channel dims double — 64-channel
+    groups (XLS-R: C=1024, g=16) go from quarter-utilised MXU tiles to full
+    128-lane tiles. Pure XLA, so the backward inherits the same tiling.
+    """
+    B, T, C = x.shape
+    K, cpg, _ = kernel.shape
+    g = groups
+    opg = C // g
+    V = K // 2  # folded tap count is V+1
+    assert K % 2 == 0 and C == g * cpg
+
+    te = T + (T % 2)  # fold needs an even length; trailing zero sliced away
+    xp = jnp.pad(x.astype(dtype), ((0, 0), (K // 2, K // 2 + te - T), (0, 0)))
+    # (B, U2, 2, g, cpg) -> (B, U2, g, 2, cpg): group-major channels so each
+    # grouped-conv block sees both phases of its own 64 channels.
+    x2 = xp.reshape(B, (te + K) // 2, 2, g, cpg).transpose(0, 1, 3, 2, 4)
+    x2 = x2.reshape(B, (te + K) // 2, 2 * C)
+
+    # Reshuffle W (K, cpg, C) -> W2 (V+1, 2*cpg, 2*C); in-channels (q, a),
+    # out-channels (g, phase, b). Zero edge taps at v=V (phase 0 / q=1) and
+    # v=0 (phase 1 / q=0).
+    w = kernel.astype(dtype).reshape(V, 2, cpg, g, opg)  # (v, q, a, g, b)
+    zero = jnp.zeros((1,) + w.shape[2:], dtype)
+    p0 = jnp.concatenate([w, jnp.zeros((1,) + w.shape[1:], dtype)], axis=0)
+    p1 = jnp.stack(
+        [jnp.concatenate([zero, w[:, 1]], axis=0),   # q=0 reads W[2v-1]
+         jnp.concatenate([w[:, 0], zero], axis=0)],  # q=1 reads W[2v]
+        axis=1,
+    )
+    w2 = jnp.stack([p0, p1], axis=4)  # (v, q, a, g, phase, b)
+    w2 = w2.reshape(V + 1, 2 * cpg, 2 * C)
+
+    out2 = jax.lax.conv_general_dilated(
+        x2, w2, window_strides=(1,), padding=[(0, 0)],
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=g,
+    )  # (B, te//2, 2C) with channels (g, phase, b)
+    out = out2.reshape(B, te // 2, g, 2, opg).transpose(0, 1, 3, 2, 4)
+    out = out.reshape(B, te, C)[:, :T]
+    return out + bias.astype(dtype)
+
+
 class PositionalConvEmbedding(nn.Module):
     """Grouped conv positional embedding (weight norm folded into the kernel)."""
 
@@ -315,6 +376,10 @@ class PositionalConvEmbedding(nn.Module):
         )
         bias = self.param("conv_bias", nn.initializers.zeros, (cfg.hidden_size,),
                           jnp.float32)
+        if cfg.pos_conv_fold and k % 2 == 0:
+            return jax.nn.gelu(_pos_conv_folded(
+                x, kernel, bias, cfg.num_conv_pos_embedding_groups, cfg.dtype,
+            ), approximate=False)
         # HF pads k//2 on both sides then drops the last frame when k is even.
         out = _conv1d(
             x, kernel, bias, stride=1, padding=[(k // 2, k // 2)],
@@ -426,22 +491,29 @@ class FeedForward(nn.Module):
     config: Wav2Vec2Config
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, ln=None):
         cfg = self.config
         if cfg.fused_ffn:
             # Matmul + bias + GELU (+ dropout) in one kernel: the (B, T, 4F)
             # pre-activation exists only as VMEM blocks (ops/ffn_pallas.py).
-            # Parameters keep the nn.Dense tree path.
-            from ..ops.ffn_pallas import ffn_fc1
+            # Parameters keep the nn.Dense tree path. When the caller hands
+            # in the pre-FFN LayerNorm params (``ln``), the normalisation is
+            # folded into the same kernel (fused_ffn_ln).
+            from ..ops.ffn_pallas import ffn_fc1, ffn_ln_fc1
 
             kernel, bias = _DenseParams(
                 x.shape[-1], cfg.intermediate_size, name="intermediate_dense"
             )()
             rate = cfg.activation_dropout if not deterministic else 0.0
-            x = ffn_fc1(
-                x, kernel, bias, rate,
-                self.make_rng("dropout") if rate > 0.0 else None,
-            )
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            if ln is not None:
+                gamma, beta = ln
+                x = ffn_ln_fc1(
+                    x, kernel, bias, gamma, beta, rate, rng,
+                    eps=cfg.layer_norm_eps,
+                )
+            else:
+                x = ffn_fc1(x, kernel, bias, rate, rng)
             x = checkpoint_name(x, "ffn_act")
         else:
             x = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
@@ -502,10 +574,21 @@ class EncoderLayer(nn.Module):
                 checkpoint_name(ln("layer_norm")(x), "attn_in"),
                 pad_mask, deterministic,
             )
-            x = x + FeedForward(cfg, name="feed_forward")(
-                checkpoint_name(ln("final_layer_norm")(x), "ffn_in"),
-                deterministic,
-            )
+            if cfg.fused_ffn and cfg.fused_ffn_ln:
+                # LN folded into the fused FFN kernel; "ffn_in" then names
+                # the pre-LN residual stream (= the kernel's VJP residual).
+                gamma_beta = _LayerNormParams(
+                    cfg.hidden_size, name="final_layer_norm"
+                )()
+                x = x + FeedForward(cfg, name="feed_forward")(
+                    checkpoint_name(x, "ffn_in"), deterministic,
+                    ln=gamma_beta,
+                )
+            else:
+                x = x + FeedForward(cfg, name="feed_forward")(
+                    checkpoint_name(ln("final_layer_norm")(x), "ffn_in"),
+                    deterministic,
+                )
         else:
             x = x + Attention(cfg, name="attention")(x, pad_mask, deterministic)
             x = ln("layer_norm")(x)

@@ -142,7 +142,10 @@ class Wav2Vec2Setup:
             attention_impl=model_cfg.get("attention_impl", "pallas"),
             fused_fe_conv=bool(model_cfg.get("fused_fe_conv", True)),
             encoder_ln_impl=model_cfg.get("encoder_ln_impl", "pallas"),
-            fused_ffn=bool(model_cfg.get("fused_ffn", False)),
+            fused_ffn=bool(model_cfg.get("fused_ffn", False))
+            or bool(model_cfg.get("fused_ffn_ln", False)),
+            fused_ffn_ln=bool(model_cfg.get("fused_ffn_ln", False)),
+            pos_conv_fold=bool(model_cfg.get("pos_conv_fold", False)),
         )
         self.model = Wav2Vec2ForCTC(
             self.model_config,
@@ -363,7 +366,9 @@ class WhisperSetup:
             self.model_config,
             remat_policy=model_cfg.get("remat_policy", arch_default_policy),
             ln_impl=model_cfg.get("ln_impl", "xla"),
-            fused_ffn=bool(model_cfg.get("fused_ffn", False)),
+            fused_ffn=bool(model_cfg.get("fused_ffn", False))
+            or bool(model_cfg.get("fused_ffn_ln", False)),
+            fused_ffn_ln=bool(model_cfg.get("fused_ffn_ln", False)),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))

@@ -147,3 +147,55 @@ def test_freeze_feature_encoder_stops_gradient(our_setup):
         "conv_kernel"
     ]
     assert float(jnp.abs(conv_grad).max()) > 0.0
+
+
+@pytest.mark.parametrize("shape", [(2, 37, 32, 2, 16), (1, 40, 48, 3, 8),
+                                   (2, 33, 64, 4, 128)])
+def test_pos_conv_fold_parity(shape):
+    """The factor-2 space-to-depth posconv is exactly the grouped conv.
+
+    Covers odd/even T, odd group counts, and the production k=128; value and
+    all three gradients must match the XLA grouped-conv path to float32
+    rounding (reference: HF's padded-grouped-conv positional embedding,
+    /root/reference's wav2vec2 stack uses it via transformers).
+    """
+    from coral_tpu.models.wav2vec2 import _conv1d, _pos_conv_folded
+
+    B, T, C, g, K = shape
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, C // g, C)) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(C) * 0.1, jnp.float32)
+
+    ref = _conv1d(x, w, b, stride=1, padding=[(K // 2, K // 2)], groups=g)
+    ref = ref[:, :-1]
+    got = _pos_conv_folded(x, w, b, g, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=1e-4, rtol=1e-4)
+
+    def loss(fn):
+        return lambda x, w, b: jnp.sum(jnp.sin(fn(x, w, b)))
+
+    f_ref = loss(lambda x, w, b: _conv1d(
+        x, w, b, stride=1, padding=[(K // 2, K // 2)], groups=g)[:, :-1])
+    f_new = loss(lambda x, w, b: _pos_conv_folded(x, w, b, g, jnp.float32))
+    for a, e in zip(jax.grad(f_new, argnums=(0, 1, 2))(x, w, b),
+                    jax.grad(f_ref, argnums=(0, 1, 2))(x, w, b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   atol=1e-4, rtol=1e-4)
+
+
+def test_pos_conv_fold_model_forward(hf_model, our_setup):
+    """pos_conv_fold=True leaves the full-model forward unchanged."""
+    model, variables, config = our_setup
+    import dataclasses
+
+    cfg2 = dataclasses.replace(config, pos_conv_fold=True)
+    model2 = Wav2Vec2ForCTC(cfg2)
+    rng = np.random.default_rng(5)
+    audio = jnp.asarray(rng.standard_normal((2, 3200)).astype(np.float32))
+    lengths = jnp.asarray([3200, 2400])
+    out1, _ = model.apply(variables, audio, lengths, deterministic=True)
+    out2, _ = model2.apply(variables, audio, lengths, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out1),
+                               atol=1e-5, rtol=1e-5)

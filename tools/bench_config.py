@@ -58,6 +58,12 @@ def main() -> None:
     p.add_argument("--fused-ffn", action="store_true",
                    help="fuse the FFN up-projection with its GELU+dropout "
                         "epilogue (ops/ffn_pallas.py)")
+    p.add_argument("--fused-ffn-ln", action="store_true",
+                   help="additionally fold the pre-FFN LayerNorm into the "
+                        "fused kernel (implies --fused-ffn)")
+    p.add_argument("--pos-fold", action="store_true",
+                   help="positional conv via factor-2 space-to-depth fold "
+                        "(full MXU tiles instead of 64-channel groups)")
     p.add_argument("--unroll", type=int, default=1,
                    help="encoder layer-scan unroll factor (24 = fully static)")
     p.add_argument("--label-len", type=int, default=128)
@@ -86,7 +92,9 @@ def main() -> None:
         vocab_size=args.vocab, dtype=jnp.bfloat16,
         attention_impl=args.attention, fused_fe_conv=not args.no_fused_fe,
         encoder_ln_impl=args.ln, attention_save_stats=args.attn_stats,
-        fused_ffn=args.fused_ffn,
+        fused_ffn=args.fused_ffn or args.fused_ffn_ln,
+        fused_ffn_ln=args.fused_ffn_ln,
+        pos_conv_fold=args.pos_fold,
     )
     model = Wav2Vec2ForCTC(
         config,
@@ -167,7 +175,9 @@ def main() -> None:
         "fe_remat": args.fe_remat,
         "unroll": args.unroll,
         "fused_fe": not args.no_fused_fe,
-        "fused_ffn": args.fused_ffn,
+        "fused_ffn": args.fused_ffn or args.fused_ffn_ln,
+        "fused_ffn_ln": args.fused_ffn_ln,
+        "pos_fold": args.pos_fold,
         "ln": args.ln,
         "freeze_fe": args.freeze_fe,
         "step_ms": round(elapsed / args.steps * 1000, 1),

@@ -37,9 +37,18 @@ run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fus
 run env CORAL_FFN_TM=512 python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn
 # 2i. candidate best stack: fused FFN + bf16 grads + attention lse residual
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn --grad-dtype bfloat16 --attn-stats
+# 2j. LN folded into the fused FFN kernel (removes the pre-FFN LN kernels +
+# the ffn_in round-trips; backward emits ln_out once for dW1)
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn-ln
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fused-ffn-ln --grad-dtype bfloat16 --attn-stats
+# 2k. folded positional conv (space-to-depth factor 2: full MXU tiles for
+# the 64-channel groups — profiled at 3x its flop floor unfolded)
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --pos-fold
+run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --pos-fold --fused-ffn-ln --grad-dtype bfloat16 --attn-stats
 # 3. whisper step A/Bs (poly GELU landed; LN + bf16 grads flagged)
 run python tools/bench_whisper.py --steps 8
 run python tools/bench_whisper.py --steps 8 --ln pallas
 run python tools/bench_whisper.py --steps 8 --ln pallas --grad-dtype bfloat16
 run python tools/bench_whisper.py --steps 8 --ln pallas --grad-dtype bfloat16 --fused-ffn
+run python tools/bench_whisper.py --steps 8 --ln pallas --grad-dtype bfloat16 --fused-ffn-ln
 echo "RUNBOOK DONE" >> "$LOG"
