@@ -96,12 +96,20 @@ def _backend_reachable(timeout_s: float = 300.0) -> bool:
     """Probe backend init in a subprocess with a hard timeout: a dead axon
     tunnel hangs jax.devices() indefinitely, which would otherwise swallow
     the whole bench budget with no artifact at all."""
+    import os
     import subprocess
     import sys
 
+    # The child must honor an explicit JAX_PLATFORMS=cpu the same way this
+    # process does (coral_tpu._platform): the axon site overrides the env var
+    # at interpreter start, so a bare `import jax` would probe the dead
+    # tunnel even for a CPU smoke run.
+    repo = os.path.dirname(os.path.abspath(__file__))
     try:
         out = subprocess.run(
             [sys.executable, "-c",
+             f"import sys; sys.path.insert(0, {repo!r}); "
+             "import coral_tpu._platform; "
              "import jax; print(len(jax.devices()))"],
             timeout=timeout_s, capture_output=True,
         )
