@@ -33,13 +33,22 @@ def is_main_process() -> bool:
     return os.getenv("RANK", "0") == "0"
 
 
-def _parse_synthetic_id(dataset_id: str) -> tuple[int, bool]:
-    """``synthetic://N`` or ``synthetic://spelled:N`` (per-character tone
-    audio with a learnable alignment — see ``synthetic.synth_spelled_audio``)."""
+def _parse_synthetic_id(dataset_id: str) -> tuple[int, bool, float, float]:
+    """``synthetic://N[@MIN-MAX]`` or ``synthetic://spelled:N`` (per-character
+    tone audio with a learnable alignment — see
+    ``synthetic.synth_spelled_audio``). The optional ``@MIN-MAX`` suffix sets
+    the clip-duration range in seconds (default 1.5–5.0) so throughput
+    benchmarks can match the step bench's clip length."""
     tail = dataset_id.split("://")[1]
+    min_s, max_s = 1.5, 5.0
+    if "@" in tail:
+        tail, dur = tail.split("@", 1)
+        lo, _, hi = dur.partition("-")
+        min_s = float(lo)
+        max_s = float(hi) if hi else min_s
     if tail.startswith("spelled:"):
-        return int(tail.split(":", 1)[1]), True
-    return int(tail), False
+        return int(tail.split(":", 1)[1]), True, min_s, max_s
+    return int(tail), False, min_s, max_s
 
 
 def _rename_columns(example: dict, text_column: str, audio_column: str) -> dict:
@@ -64,19 +73,20 @@ def make_raw_source(
     Supports ``synthetic://N`` ids, local arrow paths, and HF Hub ids.
     """
     if dataset_id.startswith("synthetic://"):
-        n, spelled = _parse_synthetic_id(dataset_id)
+        n, spelled, min_s, max_s = _parse_synthetic_id(dataset_id)
         # Generate once, reshuffle per epoch: per-clip host DSP re-run every
         # epoch was costing ~40% of end-to-end train throughput at B=64 on
         # the synthetic benchmark source.
-        cache: dict[tuple[int, int, bool], list] = {}
+        cache: dict[tuple[int, int, bool, float, float], list] = {}
 
         def synthetic_factory(epoch: int = 0) -> Iterable[dict]:
             import numpy as np
 
-            key = (n, seed, spelled)
+            key = (n, seed, spelled, min_s, max_s)
             if key not in cache:
                 cache[key] = make_synthetic_examples(
-                    n=n, seed=seed, spelled=spelled
+                    n=n, seed=seed, spelled=spelled,
+                    min_seconds=min_s, max_seconds=max_s,
                 )
             examples = cache[key]
             order = np.random.default_rng(seed + epoch).permutation(len(examples))
@@ -318,11 +328,12 @@ def load_dataset_for_evaluation(config: Any) -> SourceFactory:
             yield out
 
     if dataset_id.startswith("synthetic://"):
-        n, spelled = _parse_synthetic_id(dataset_id)
+        n, spelled, min_s, max_s = _parse_synthetic_id(dataset_id)
 
         def synthetic_factory() -> Iterator[dict]:
             return postprocess(
-                make_synthetic_examples(n=n, seed=0, spelled=spelled)
+                make_synthetic_examples(n=n, seed=0, spelled=spelled,
+                                        min_seconds=min_s, max_seconds=max_s)
             )
 
         return synthetic_factory

@@ -296,3 +296,19 @@ def test_pcm16_transfer_roundtrip():
     bf = BucketBatcher(batch_size=2, max_seconds=1.0, num_buckets=1,
                        audio_transfer_dtype="float32")
     assert next(iter(bf(samples)))["input_values"].dtype == np.float32
+
+
+def test_synthetic_id_duration_grammar():
+    """``synthetic://N@MIN-MAX`` pins the clip-duration range (the e2e
+    throughput bench matches the step bench's 10 s clips this way)."""
+    from coral_tpu.data.loading import _parse_synthetic_id, make_raw_source
+
+    assert _parse_synthetic_id("synthetic://8") == (8, False, 1.5, 5.0)
+    assert _parse_synthetic_id("synthetic://8@9-9.9") == (8, False, 9.0, 9.9)
+    assert _parse_synthetic_id("synthetic://8@4") == (8, False, 4.0, 4.0)
+    assert _parse_synthetic_id("synthetic://spelled:5") == (5, True, 1.5, 5.0)
+
+    src = make_raw_source("synthetic://4@2-2.5", None, "train")
+    secs = [len(ex["audio"]["array"]) / ex["audio"]["sampling_rate"]
+            for ex in src()]
+    assert len(secs) == 4 and all(2.0 <= s <= 2.5 for s in secs), secs

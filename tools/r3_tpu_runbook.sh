@@ -45,6 +45,11 @@ run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --fus
 # the 64-channel groups — profiled at 3x its flop floor unfolded)
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --pos-fold
 run python tools/bench_config.py --steps 12 --batch 48 --mu-dtype bfloat16 --pos-fold --fused-ffn-ln --grad-dtype bfloat16 --attn-stats
+# 2l. end-to-end loop throughput (real finetune(): host batcher + double-
+# buffered per-microbatch device_put prefetch) — the infeed-overlap artifact;
+# compare against the matching step-bench rows above
+run python tools/bench_e2e.py --batch 48 --steps 30 --n-clips 256
+run python tools/bench_e2e.py --batch 48 --steps 30 --n-clips 256 --extra model.fused_ffn_ln=true model.pos_conv_fold=true grad_dtype=bfloat16
 # 3. whisper step A/Bs (poly GELU landed; LN + bf16 grads flagged)
 run python tools/bench_whisper.py --steps 8
 run python tools/bench_whisper.py --steps 8 --ln pallas
