@@ -92,10 +92,7 @@ WARMUP_STEPS = 3
 MEASURE_STEPS = 10
 
 
-def _backend_reachable(timeout_s: float = 300.0) -> bool:
-    """Probe backend init in a subprocess with a hard timeout: a dead axon
-    tunnel hangs jax.devices() indefinitely, which would otherwise swallow
-    the whole bench budget with no artifact at all."""
+def _probe_backend_once(timeout_s: float) -> bool:
     import os
     import subprocess
     import sys
@@ -118,6 +115,30 @@ def _backend_reachable(timeout_s: float = 300.0) -> bool:
         return False
 
 
+def _backend_reachable() -> bool:
+    """Probe backend init in a subprocess with a hard timeout: a dead axon
+    tunnel hangs jax.devices() indefinitely, which would otherwise swallow
+    the whole bench budget with no artifact at all.
+
+    The tunnel flaps on the scale of minutes, so a single failed probe does
+    not decide the round: retry inside a bounded window
+    (CORAL_BENCH_WAIT_S, default 25 min) before emitting the zero artifact.
+    """
+    import os
+    import time as _time
+
+    budget = float(os.environ.get("CORAL_BENCH_WAIT_S", "1500"))
+    deadline = _time.monotonic() + budget
+    probe_timeout = 120.0
+    while True:
+        if _probe_backend_once(probe_timeout):
+            return True
+        remaining = deadline - _time.monotonic()
+        if remaining <= 0:
+            return False
+        _time.sleep(min(60.0, max(0.0, remaining - probe_timeout)))
+
+
 def main() -> None:
     if not _backend_reachable():
         print(json.dumps({
@@ -125,9 +146,9 @@ def main() -> None:
             "value": 0.0,
             "unit": "audio-sec/sec/chip",
             "vs_baseline": 0.0,
-            "error": "backend unreachable: jax.devices() timed out "
-                     "(axon tunnel down) — infrastructure failure, not a "
-                     "model regression",
+            "error": "backend unreachable: jax.devices() timed out for the "
+                     "whole CORAL_BENCH_WAIT_S retry window (axon tunnel "
+                     "down) — infrastructure failure, not a model regression",
         }))
         return
 
