@@ -66,30 +66,41 @@ def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float,
 
 def _fwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
                       sm_scale: float, head_dim: int):
-    """Forward that also writes the per-row log-sum-exp (``m + log l``) so a
-    stats-fed backward can rebuild ``p = exp(s - lse)`` in one pass, skipping
-    the max/sum reductions and the divide. One f32 column per head —
-    ~1 MB/layer at the production shapes, negligible HBM traffic."""
-    bias = bias_ref[0]
+    """Forward that also writes the per-query log-sum-exp (``m + log l``) so
+    a stats-fed backward can rebuild ``p = exp(s - lse)`` in one pass,
+    skipping the max/sum reductions and the divide. lse is laid out
+    ``(B, H, T)`` — one f32 ROW per head, ~1 MB/layer at production shapes —
+    because Mosaic requires output blocks whose last dim is 128-divisible or
+    equal to the array dim: an ``(B, T, H)`` column layout would need an
+    ``(1, T, H/groups)`` block (8 lanes), which fails to lower. To produce
+    row-form stats without any in-kernel relayout, the whole kernel runs in
+    transposed score space: ``sT = k qT`` is ``(Tk, Tq)``, so the bias is a
+    k-side COLUMN (the wrapper passes it pre-transposed as ``(B, T, 1)``)
+    and the max/sum reductions land on axis 0, yielding ``(1, Tq)`` rows
+    directly. The price vs the stats-free forward is the ``(T, T)`` divide
+    by ``l`` (row-form ``l`` cannot scale the ``(Tq, d)`` output without a
+    relayout); the backward's saved passes are what the variant buys."""
+    bias_c = bias_ref[0]  # (T, 1): additive k-side bias, column form
     n_heads = q_ref.shape[2] // head_dim
-    lse_cols = []
+    lse_rows = []
     for h in range(n_heads):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
         k = k_ref[0, :, lanes]
         v = v_ref[0, :, lanes]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        s = s + bias
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        l = jnp.sum(e, axis=1, keepdims=True)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tk, Tq)
+        st = st + bias_c
+        m = jnp.max(st, axis=0, keepdims=True)   # (1, Tq)
+        e = jnp.exp(st - m)
+        l = jnp.sum(e, axis=0, keepdims=True)    # (1, Tq)
+        p = e / l
         o = jax.lax.dot_general(
-            e.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(q.dtype), v, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
+        )  # (Tq, d)
+        o_ref[0, :, lanes] = o.astype(o_ref.dtype)
         # Clamp: a fully-masked row has m = -1e30, and the backward's
         # ``exp(s + bias - lse)`` would catastrophically cancel (both terms
         # round to -1e30 in f32, giving p = 1 instead of 1/T — T-times
@@ -97,9 +108,9 @@ def _fwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         # ~-1e30, so such rows get p = 0: zero gradients, strictly safer
         # than the plain path's uniform-garbage ones. Real rows always have
         # a finite max score, so the clamp never binds for them.
-        lse_cols.append(jnp.maximum(m + jnp.log(l), -1e25))
-    # One full-block store instead of n_heads single-lane column writes.
-    lse_ref[0] = jnp.concatenate(lse_cols, axis=1)
+        lse_rows.append(jnp.maximum(m + jnp.log(l), -1e25))
+    # One full-block (H_g, T) store.
+    lse_ref[0] = jnp.concatenate(lse_rows, axis=0)
 
 
 def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
@@ -108,8 +119,11 @@ def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     """Backward fed the forward's log-sum-exp: the (T, T) probability matrix
     is rebuilt as ``exp(s - lse)`` — one fused subtract+exp pass instead of
     the max reduction, exp, sum reduction, and divide of the stats-free
-    recompute. The matmul structure is identical to ``_bwd_kernel``."""
-    bias = bias_ref[0]
+    recompute. Like the stats forward it runs in transposed score space so
+    the ``(1, Tq)`` lse rows and the ``(Tk, 1)`` bias column both broadcast
+    without relayouts; every product is a plain ``dot_general`` with the
+    contraction dims swapped accordingly."""
+    bias_c = bias_ref[0]  # (T, 1)
     n_heads = q_ref.shape[2] // head_dim
     for h in range(n_heads):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
@@ -117,32 +131,32 @@ def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         k = k_ref[0, :, lanes]
         v = v_ref[0, :, lanes]
         do = do_ref[0, :, lanes]
-        lse = lse_ref[0, :, h][:, None]
+        lse = lse_ref[0, h:h + 1, :]  # (1, Tq) row
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        p = jnp.exp(s + bias - lse)
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tk, Tq)
+        p = jnp.exp(st + bias_c - lse)
 
         pb = p.astype(q.dtype)
         dv = jax.lax.dot_general(
-            pb, do, (((0,), (0,)), ((), ())),
+            pb, do, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (Tk, d)
         dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
+            v, do, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        delta = jnp.sum(p * dp, axis=1, keepdims=True)
-        ds = (p * (dp - delta)).astype(q.dtype)
+        )  # (Tk, Tq)
+        delta = jnp.sum(p * dp, axis=0, keepdims=True)  # (1, Tq)
+        ds = (p * (dp - delta)).astype(q.dtype)  # (Tk, Tq)
         dq = jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds, k, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale
+        ) * sm_scale  # (Tq, d)
         dk = jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds, q, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )  # (Tk, d); sm_scale arrives via the pre-scaled q
         dq_ref[0, :, lanes] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, lanes] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
@@ -217,7 +231,7 @@ def _head_groups(
     ``n_blocks`` double-buffered (T, HD/groups) slabs stay inside scoped
     VMEM. Starts from the measured-good ~512-lane heuristic and grows the
     group count until the budget holds, so longer sequences or wider heads
-    can't silently overflow. The save_stats variants add one (T, H/groups)
+    can't silently overflow. The save_stats variants add one (H/groups, T)
     f32 lse block on top (~head_dim x smaller than a slab, ~0.5% of the
     budget at production shapes) — deliberately not counted here so both
     variants pick identical groupings."""
@@ -274,8 +288,16 @@ def _bwd_pallas(q, k, v, bias, do, sm_scale, head_dim, interpret):
 
 
 def _lse_spec(T, H, groups):
-    # lse is (B, T, H): one f32 column per head, lane-grouped like q/k/v.
-    return pl.BlockSpec((1, T, H // groups), lambda b, g: (b, 0, g))
+    # lse is (B, H, T): one f32 ROW per head, head-grouped like q/k/v's lane
+    # groups. Row layout is forced by Mosaic's output-block rule (last dim
+    # must be 128-divisible or whole): an (1, T, H/groups) column block
+    # would be 8 lanes wide and fail to lower.
+    return pl.BlockSpec((1, H // groups, T), lambda b, g: (b, g, 0))
+
+
+def _bias_col_spec(T):
+    # k-side bias as a (B, T, 1) column for the transposed-space kernels.
+    return pl.BlockSpec((1, T, 1), lambda b, g: (b, 0, 0))
 
 
 def _fwd_pallas_stats(q, k, v, bias, sm_scale, head_dim, interpret):
@@ -284,20 +306,21 @@ def _fwd_pallas_stats(q, k, v, bias, sm_scale, head_dim, interpret):
     groups = _head_groups(
         HD, head_dim, n_blocks=5, T=T, itemsize=q.dtype.itemsize
     )
-    qkv_spec, bias_spec = _specs(T, HD, groups)
+    qkv_spec, _ = _specs(T, HD, groups)
+    bias_c = jnp.swapaxes(bias, 1, 2)  # (B, T, 1) column for sT space
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel_stats, sm_scale=sm_scale, head_dim=head_dim
         ),
         grid=(B, groups),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, _bias_col_spec(T)],
         out_specs=[qkv_spec, _lse_spec(T, H, groups)],
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, T, H), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
         ],
         interpret=interpret,
-    )(q, k, v, bias)
+    )(q, k, v, bias_c)
 
 
 def _bwd_pallas_stats(q, k, v, bias, do, lse, sm_scale, head_dim, interpret):
@@ -306,18 +329,19 @@ def _bwd_pallas_stats(q, k, v, bias, do, lse, sm_scale, head_dim, interpret):
     groups = _head_groups(
         HD, head_dim, n_blocks=8, T=T, itemsize=q.dtype.itemsize
     )
-    qkv_spec, bias_spec = _specs(T, HD, groups)
+    qkv_spec, _ = _specs(T, HD, groups)
+    bias_c = jnp.swapaxes(bias, 1, 2)
     return pl.pallas_call(
         functools.partial(
             _bwd_kernel_stats, sm_scale=sm_scale, head_dim=head_dim
         ),
         grid=(B, groups),
-        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, _bias_col_spec(T), qkv_spec,
                   _lse_spec(T, H, groups)],
         out_specs=[qkv_spec, qkv_spec, qkv_spec],
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         interpret=interpret,
-    )(q, k, v, bias, do, lse)
+    )(q, k, v, bias_c, do, lse)
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +437,16 @@ def _bwd_cp(sm_scale, head_dim, interpret):
     return f
 
 
+def _lse_sharding(sharding, mesh):
+    """lse is (B, H, T): the batch spec lands on dim 0 and the q/k/v lane
+    (TP head) spec on dim 1; T replicated."""
+    spec = [None] * 3
+    if isinstance(sharding, NamedSharding):
+        got = list(sharding.spec) + [None] * 3
+        spec[0], spec[1] = got[0], got[2]
+    return NamedSharding(mesh, P(*spec))
+
+
 @functools.lru_cache(maxsize=None)
 def _fwd_stats_cp(sm_scale, head_dim, interpret):
     f = custom_partitioning(
@@ -423,10 +457,11 @@ def _fwd_stats_cp(sm_scale, head_dim, interpret):
 
     def infer(mesh, arg_infos, result_infos):
         sh = _bh_only(arg_infos[0].sharding, mesh, 3)
-        return (sh, sh)  # lse's head axis shards like o's lane axis
+        return (sh, _lse_sharding(arg_infos[0].sharding, mesh))
 
     def partition(mesh, arg_infos, result_infos):
         out_sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        lse_sh = _lse_sharding(arg_infos[0].sharding, mesh)
         batch_spec = out_sh.spec[0]
         arg_shs = (
             out_sh, out_sh, out_sh,
@@ -436,18 +471,18 @@ def _fwd_stats_cp(sm_scale, head_dim, interpret):
             _fwd_pallas_stats, sm_scale=sm_scale, head_dim=head_dim,
             interpret=interpret,
         )
-        return mesh, lower, (out_sh, out_sh), arg_shs
+        return mesh, lower, (out_sh, lse_sh), arg_shs
 
     # Compound factor (e f): the flattened head axis is e heads x f=head_dim
-    # lanes, and lse's trailing axis is the e factor alone — so a TP sharding
-    # on the lane axis propagates to lse instead of leaving it output-only
-    # (which Shardy would replicate, inserting an all-gather between the fwd
-    # and bwd custom calls).
+    # lanes, and lse's head axis (dim 1) is the e factor alone — so a TP
+    # sharding on the lane axis propagates to lse instead of leaving it
+    # output-only (which Shardy would replicate, inserting an all-gather
+    # between the fwd and bwd custom calls).
     f.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
         sharding_rule=(
-            "b t (e f), b t (e f), b t (e f), b u t -> b t (e f), b t e"
+            "b t (e f), b t (e f), b t (e f), b u t -> b t (e f), b e t"
         ),
         f=head_dim,
     )
@@ -472,7 +507,7 @@ def _bwd_stats_cp(sm_scale, head_dim, interpret):
         arg_shs = (
             sh, sh, sh,
             NamedSharding(mesh, P(batch_spec, None, None)),
-            sh, sh,
+            sh, _lse_sharding(arg_infos[0].sharding, mesh),
         )
         lower = functools.partial(
             _bwd_pallas_stats, sm_scale=sm_scale, head_dim=head_dim,
@@ -484,7 +519,7 @@ def _bwd_stats_cp(sm_scale, head_dim, interpret):
         infer_sharding_from_operands=infer,
         partition=partition,
         sharding_rule=(
-            "b t (e f), b t (e f), b t (e f), b u t, b t (e f), b t e -> "
+            "b t (e f), b t (e f), b t (e f), b u t, b t (e f), b e t -> "
             "b t (e f), b t (e f), b t (e f)"
         ),
         f=head_dim,

@@ -121,7 +121,7 @@ def _bwd_epilogue(dh, w_ref, dh_ref, dx_ref, db_ref, db_acc, *, n_rows: int):
         dhb, w_ref[...], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ).astype(dx_ref.dtype)
-    db_acc[...] += jnp.sum(dh, axis=0)
+    db_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
 
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
@@ -202,7 +202,7 @@ def _bwd_ln_epilogue(dh, ln_b, xhat, rstd, w_ref, g_ref,
     dhb = dh.astype(dh_ref.dtype)
     dh_ref[0] = dhb
     ln_ref[0] = ln_b
-    db_acc[...] += jnp.sum(dh, axis=0)
+    db_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
 
     # d(ln_out), then the LayerNorm backward — all row-local.
     dl = jax.lax.dot_general(
@@ -307,24 +307,29 @@ def _bwd_pallas(x, w, b, dy, seeds, rate, interpret):
     else:
         kernel = functools.partial(_bwd_kernel, n_rows=T)
         args = (x, w, b, dy)
-    return pl.pallas_call(
+    # db rows carry a singleton middle dim: Mosaic requires output blocks
+    # whose last-two dims are (8, 128)-divisible or equal to the array dims,
+    # so a (1, F) block over (B, F) fails (sublane 1 vs B) while (1, 1, F)
+    # over (B, 1, F) is exempt; squeezed right below, so callers see (B, F).
+    dh, dx, db = pl.pallas_call(
         kernel,
         grid=(B, pl.cdiv(T, _TM)),
         in_specs=in_specs,
         out_specs=[
             out_spec,
             x_spec,
-            pl.BlockSpec((1, F), lambda b, t: (b, 0)),
+            pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, F), x.dtype),
             jax.ShapeDtypeStruct((B, T, D), x.dtype),
-            jax.ShapeDtypeStruct((B, F), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),
         ],
-        scratch_shapes=[pltpu.VMEM((F,), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((1, F), jnp.float32)],
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
+    return dh, dx, jnp.squeeze(db, axis=1)
 
 
 def _fwd_pallas_ln(x, w, b, gamma, beta, seeds, rate, eps, interpret):
@@ -375,7 +380,7 @@ def _bwd_pallas_ln(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
     else:
         kernel = functools.partial(_bwd_kernel_ln, eps=eps, n_rows=T)
         args = (x, w, b, gamma, beta, dy)
-    return pl.pallas_call(
+    dh, dx, ln_out, db, dvec = pl.pallas_call(
         kernel,
         grid=(B, pl.cdiv(T, _TM)),
         in_specs=in_specs,
@@ -383,23 +388,27 @@ def _bwd_pallas_ln(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
             out_spec,
             x_spec,
             x_spec,
-            pl.BlockSpec((1, F), lambda b, t: (b, 0)),
+            # (1, 1, F) over (B, 1, F): see the same note in _bwd_pallas —
+            # a (1, F) block over (B, F) fails Mosaic's block rule. The
+            # (1, 2, D) dvec block is exempt already (2 equals its array dim).
+            pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0)),
             pl.BlockSpec((1, 2, D), lambda b, t: (b, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, T, F), x.dtype),   # dh
             jax.ShapeDtypeStruct((B, T, D), x.dtype),   # dx
             jax.ShapeDtypeStruct((B, T, D), x.dtype),   # ln_out
-            jax.ShapeDtypeStruct((B, F), jnp.float32),  # db rows
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),  # db rows
             jax.ShapeDtypeStruct((B, 2, D), jnp.float32),  # dgamma/dbeta rows
         ],
         scratch_shapes=[
-            pltpu.VMEM((F,), jnp.float32),
+            pltpu.VMEM((1, F), jnp.float32),
             pltpu.VMEM((2, D), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
+    return dh, dx, ln_out, jnp.squeeze(db, axis=1), dvec
 
 
 # ---------------------------------------------------------------------------
