@@ -169,13 +169,17 @@ def main() -> None:
     # Winning v5e configuration (tools/bench_config.py sweeps, rounds 2-3):
     # pallas short-T attention (lane-sliced heads, no layout copies) + fused
     # GELU+dropout + fused feature-encoder conv+LN+GELU + pallas encoder LNs
-    # + bf16 first Adam moment. Round-3 sweep: full-replay remat
-    # (nothing_saveable) at B=48 beats save_matmul_inputs at B=32 (793 vs
-    # 778 audio-s/s) — the fused kernels made the replayed forward cheap
-    # enough that skipping the stacked-activation traffic wins; feature-
-    # encoder remat OFF (the freed HBM covers the conv intermediates).
+    # + bf16 first Adam moment + full-replay remat (nothing_saveable) at
+    # B=48, feature-encoder remat OFF. Round-3 measured attribution on top
+    # of that reference (821.9 audio-s/s, same session):
+    #   fused FFN up-projection w/ LN fold (fused_ffn_ln)  largest single win
+    #   folded positional conv (pos_conv_fold)             831.8 single
+    #   bf16 gradient buffers (grad_dtype)                 826.9 single
+    #   full stack                                         871.5
+    # attention_save_stats measured SLOWER (807.2) and stays off.
     config = Wav2Vec2Config.xls_r_300m(
-        vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas"
+        vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas",
+        fused_ffn=True, fused_ffn_ln=True, pos_conv_fold=True,
     )
     model = Wav2Vec2ForCTC(
         config,
@@ -194,7 +198,8 @@ def main() -> None:
     )
     state = TrainState.create(params, tx)
     train_step = make_ctc_train_step(
-        model, tx, schedule, blank_id=VOCAB - 1, freeze_feature_encoder=False
+        model, tx, schedule, blank_id=VOCAB - 1, freeze_feature_encoder=False,
+        grad_dtype="bfloat16",
     )
 
     param_sh = jax.tree.map(lambda _: replicated(mesh), state.params)
