@@ -94,6 +94,12 @@ class Wav2Vec2Config:
     # Additionally fold the pre-FFN LayerNorm into the fused kernel (pre-LN
     # architecture only; the LN has a single consumer). Requires fused_ffn.
     fused_ffn_ln: bool = False
+    # Fold the pre-attention LayerNorm into a packed QKV projection kernel
+    # (ops/ffn_pallas.py ln_dense): one (D, 3D) matmul with the LN computed
+    # in-register, removing the separate LN kernels and the normalised
+    # tensor's HBM round-trips (pre-LN architecture only; the LN has a
+    # single consumer).
+    fused_qkv_ln: bool = False
     # Positional conv via a factor-2 space-to-depth fold: the (k, C/g -> C/g)
     # grouped conv becomes a (k/2+1, 2C/g -> 2C/g) conv at half the sequence
     # length — identical FLOPs but full 128-lane MXU tiles instead of the
@@ -435,7 +441,7 @@ class Attention(nn.Module):
     config: Wav2Vec2Config
 
     @nn.compact
-    def __call__(self, x, pad_mask, deterministic: bool = True):
+    def __call__(self, x, pad_mask, deterministic: bool = True, ln=None):
         cfg = self.config
         B, T, D = x.shape
         H = cfg.num_attention_heads
@@ -444,9 +450,37 @@ class Attention(nn.Module):
         def proj(name):
             return nn.Dense(D, dtype=cfg.dtype, name=name)
 
-        q = checkpoint_name(proj("q_proj")(x), "q").reshape(B, T, H, head_dim)
-        k = checkpoint_name(proj("k_proj")(x), "k").reshape(B, T, H, head_dim)
-        v = checkpoint_name(proj("v_proj")(x), "v").reshape(B, T, H, head_dim)
+        if ln is not None:
+            # Pre-attention LN folded into one packed (D, 3D) QKV projection
+            # kernel (fused_qkv_ln). Parameters keep the nn.Dense tree paths;
+            # the per-projection checkpoint names land on the lane slices.
+            from ..ops.ffn_pallas import ln_dense
+
+            wq, bq = _DenseParams(D, D, name="q_proj")()
+            wk, bk = _DenseParams(D, D, name="k_proj")()
+            wv, bv = _DenseParams(D, D, name="v_proj")()
+            gamma, beta = ln
+            qkv = ln_dense(
+                x, jnp.concatenate([wq, wk, wv], axis=1),
+                jnp.concatenate([bq, bk, bv]), gamma, beta,
+                eps=cfg.layer_norm_eps,
+            )
+            q = checkpoint_name(qkv[:, :, :D], "q")
+            k = checkpoint_name(qkv[:, :, D:2 * D], "k")
+            v = checkpoint_name(qkv[:, :, 2 * D:], "v")
+            q = q.reshape(B, T, H, head_dim)
+            k = k.reshape(B, T, H, head_dim)
+            v = v.reshape(B, T, H, head_dim)
+        else:
+            q = checkpoint_name(proj("q_proj")(x), "q").reshape(
+                B, T, H, head_dim
+            )
+            k = checkpoint_name(proj("k_proj")(x), "k").reshape(
+                B, T, H, head_dim
+            )
+            v = checkpoint_name(proj("v_proj")(x), "v").reshape(
+                B, T, H, head_dim
+            )
 
         if cfg.attention_impl == "pallas":
             from ..ops.attention_pallas import short_t_attention
@@ -570,10 +604,22 @@ class EncoderLayer(nn.Module):
             # measured pallas slightly slower (760 vs 764 — XLA fused the LN
             # bwd with the residual adds), round 3 slightly faster (776 vs
             # 778) after the other kernels reshaped the fusion landscape.
-            x = x + Attention(cfg, name="attention")(
-                checkpoint_name(ln("layer_norm")(x), "attn_in"),
-                pad_mask, deterministic,
-            )
+            if cfg.fused_qkv_ln:
+                # LN folded into the packed QKV projection kernel; "attn_in"
+                # then names the pre-LN residual stream (= the kernel's VJP
+                # residual), like "ffn_in" under fused_ffn_ln.
+                gamma_beta = _LayerNormParams(
+                    cfg.hidden_size, name="layer_norm"
+                )()
+                x = x + Attention(cfg, name="attention")(
+                    checkpoint_name(x, "attn_in"), pad_mask, deterministic,
+                    ln=gamma_beta,
+                )
+            else:
+                x = x + Attention(cfg, name="attention")(
+                    checkpoint_name(ln("layer_norm")(x), "attn_in"),
+                    pad_mask, deterministic,
+                )
             if cfg.fused_ffn and cfg.fused_ffn_ln:
                 # LN folded into the fused FFN kernel; "ffn_in" then names
                 # the pre-LN residual stream (= the kernel's VJP residual).
@@ -619,6 +665,14 @@ _REMAT_POLICIES = {
     # the fwd kernel back into the replay.
     "save_attn_ctx": jax.checkpoint_policies.save_only_these_names(
         "attn_ctx"
+    ),
+    # Save the two fused-kernel outputs whose replay is the expensive part of
+    # the layer forward: the attention context (~49 MB/layer at B=48 x 10 s)
+    # and the fused-FFN activation (~196 MB/layer). The backward replay then
+    # DCEs both the attention fwd kernel and the FFN up-projection kernel,
+    # recomputing only the LN/projection matmuls.
+    "save_ctx_act": jax.checkpoint_policies.save_only_these_names(
+        "attn_ctx", "ffn_act"
     ),
     # As above plus the 4x-wide FFN pre-activation ("ffn_hidden"; on the
     # fused-FFN path the post-activation "ffn_act" plays the same role):

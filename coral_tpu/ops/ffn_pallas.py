@@ -254,6 +254,62 @@ def _bwd_kernel_ln_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref,
                      db_acc, dvec_acc, n_rows=n_rows)
 
 
+def _fwd_kernel_lnmm(x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref, *,
+                     eps: float):
+    """LN + matmul + bias, no activation: the pre-attention LayerNorm folded
+    into the packed QKV projection (``ln_dense``)."""
+    acc, _, _, _ = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    o_ref[0] = (acc + b_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def _bwd_kernel_lnmm(x_ref, w_ref, g_ref, bt_ref, dy_ref,
+                     dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, *, eps: float, n_rows: int):
+    """Backward of LN + matmul + bias. With no activation there is nothing to
+    recompute on-MXU: dh == dy, so the kernel only rebuilds the LN row stats
+    from x, emits ``ln_out`` once (the outside dW operand), folds
+    dl = dy @ W^T through the LayerNorm backward into dx, and accumulates
+    the db/dgamma/dbeta rows."""
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        db_acc[...] = jnp.zeros_like(db_acc)
+        dvec_acc[...] = jnp.zeros_like(dvec_acc)
+
+    ln, xhat, rstd = _ln_rows(x_ref[0], g_ref, bt_ref, eps)
+    ln_b = ln.astype(x_ref.dtype)
+    dy = dy_ref[0].astype(jnp.float32)
+    # Ragged last block: pad rows hold unspecified data (see _bwd_ln_epilogue).
+    row = t * dy.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (dy.shape[0], 1), 0
+    )
+    mask = row < n_rows
+    dy = jnp.where(mask, dy, 0.0)
+    xhat = jnp.where(mask, xhat, 0.0)
+    ln_ref[0] = ln_b
+    db_acc[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+    dl = jax.lax.dot_general(
+        dy.astype(x_ref.dtype), w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dvec_acc[0, :] += jnp.sum(dl * xhat, axis=0)  # dgamma
+    dvec_acc[1, :] += jnp.sum(dl, axis=0)         # dbeta
+    dn = dl * g_ref[...].astype(jnp.float32)
+    dx = (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dn * xhat, axis=-1, keepdims=True)
+    ) * rstd
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        db_ref[0] = db_acc[...]
+        dvec_ref[0] = dvec_acc[...]
+
+
 def _specs(D, F):
     x_spec = pl.BlockSpec((1, _TM, D), lambda b, t: (b, t, 0))
     w_spec = pl.BlockSpec((D, F), lambda b, t: (0, 0))
@@ -409,6 +465,57 @@ def _bwd_pallas_ln(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
     return dh, dx, ln_out, jnp.squeeze(db, axis=1), dvec
+
+
+def _fwd_pallas_lnmm(x, w, b, gamma, beta, eps, interpret):
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_lnmm, eps=eps),
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=[x_spec, w_spec, b_spec, d_spec, d_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, F), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(x, w, b, gamma, beta)
+
+
+def _bwd_pallas_lnmm(x, w, gamma, beta, dy, eps, interpret):
+    """Returns (dx, ln_out, db_rows, dvec_rows); dW runs outside as
+    ``ln_out^T @ dy`` (dy is already in HBM — no dh copy to emit)."""
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, _, out_spec = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    dx, ln_out, db, dvec = pl.pallas_call(
+        functools.partial(_bwd_kernel_lnmm, eps=eps, n_rows=T),
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=[x_spec, w_spec, d_spec, d_spec, out_spec],
+        out_specs=[
+            x_spec,
+            x_spec,
+            # (1, 1, F) over (B, 1, F): see the Mosaic block-rule note in
+            # _bwd_pallas.
+            pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 2, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),      # dx
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),      # ln_out
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),  # db rows
+            jax.ShapeDtypeStruct((B, 2, D), jnp.float32),  # dgamma/dbeta rows
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, F), jnp.float32),
+            pltpu.VMEM((2, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(x, w, gamma, beta, dy)
+    return dx, ln_out, jnp.squeeze(db, axis=1), dvec
 
 
 # ---------------------------------------------------------------------------
@@ -625,6 +732,111 @@ def _bwd_ln_cp(rate, eps, interpret, with_seeds):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _fwd_lnmm_cp(eps, interpret):
+    fn = lambda x, w, b, g, bt: _fwd_pallas_lnmm(  # noqa: E731
+        x, w, b, g, bt, eps, interpret
+    )
+    f = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _shardings(mesh, arg_infos[0], arg_infos[1], False)[0]
+
+    def partition(mesh, arg_infos, result_infos):
+        out_sh, arg_sh = _shardings(mesh, arg_infos[0], arg_infos[1], False)
+        rep_d = NamedSharding(mesh, P(None))
+        return mesh, fn, out_sh, arg_sh + (rep_d, rep_d)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b t d, d f, f, d, d -> b t f",
+    )
+    return f
+
+
+def _bwd_lnmm_shardings(mesh, x_info, w_info):
+    batch = _spec_dim(x_info.sharding, 0)
+    col = _spec_dim(w_info.sharding, 1)
+    return (
+        NamedSharding(mesh, P(batch, None, None)),   # dx
+        NamedSharding(mesh, P(batch, None, None)),   # ln_out
+        NamedSharding(mesh, P(batch, col)),          # db rows
+        NamedSharding(mesh, P(batch, None, None)),   # dgamma/dbeta rows
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_lnmm_cp(eps, interpret):
+    fn = lambda x, w, g, bt, dy: _bwd_pallas_lnmm(  # noqa: E731
+        x, w, g, bt, dy, eps, interpret
+    )
+    f = custom_partitioning(fn)
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bwd_lnmm_shardings(mesh, arg_infos[0], arg_infos[1])
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = arg_infos[0], arg_infos[1]
+        out_sh = _bwd_lnmm_shardings(mesh, xi, wi)
+        batch = _spec_dim(xi.sharding, 0)
+        col = _spec_dim(wi.sharding, 1)
+        rep_d = NamedSharding(mesh, P(None))
+        arg_sh = (
+            NamedSharding(mesh, P(batch, None, None)),
+            NamedSharding(mesh, P(None, col)),
+            rep_d, rep_d,
+            NamedSharding(mesh, P(batch, None, col)),
+        )
+
+        def lower(*a):
+            dx, ln_out, db_rows, dvec_rows = fn(*a)
+            if col is not None:
+                # Column-sharded W (TP): dl = dy @ W^T contracts only the
+                # local F slice, so dx and dgamma/dbeta are partial sums.
+                dx = jax.lax.psum(dx, col)
+                dvec_rows = jax.lax.psum(dvec_rows, col)
+            return dx, ln_out, db_rows, dvec_rows
+
+        return mesh, lower, out_sh, arg_sh
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b t d, d f, d, d, b t f -> b t d, b t d, b f, b v d",
+    )
+    return f
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _ln_dense(x, w, b, gamma, beta, eps, interpret):
+    return _fwd_lnmm_cp(eps, interpret)(x, w, b, gamma, beta)
+
+
+def _ln_dense_fwd(x, w, b, gamma, beta, eps, interpret):
+    y = _ln_dense(x, w, b, gamma, beta, eps, interpret)
+    return y, (x, w, gamma, beta)
+
+
+def _ln_dense_bwd(eps, interpret, res, dy):
+    x, w, gamma, beta = res
+    dx, ln_out, db_rows, dvec_rows = _bwd_lnmm_cp(eps, interpret)(
+        x, w, gamma, beta, dy
+    )
+    # dW reads dy directly (it is already in HBM — no dh copy to emit).
+    # Batch reductions stay plain jnp so GSPMD inserts the cross-shard psums.
+    dw = jax.lax.dot_general(
+        ln_out, dy, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    db = jnp.sum(db_rows, axis=0)
+    dvec = jnp.sum(dvec_rows, axis=0)
+    return dx, dw, db, dvec[0].astype(gamma.dtype), dvec[1].astype(beta.dtype)
+
+
+_ln_dense.defvjp(_ln_dense_fwd, _ln_dense_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _ffn_ln_fc1(x, w, b, gamma, beta, seeds, rate, eps, interpret):
     if rate > 0.0:
@@ -760,6 +972,52 @@ def ffn_fc1(
     else:
         seeds = jnp.zeros((x.shape[0],), jnp.int32)
     return _ffn_fc1(x, w.astype(x.dtype), b, seeds, float(rate), interpret)
+
+
+def ln_dense(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    eps: float = 1e-5,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``layer_norm(x) @ w + b`` in one fused kernel (no activation).
+
+    Folds a single-consumer LayerNorm into the following projection — in the
+    pre-LN transformer the pre-attention LN feeds only the packed QKV matmul
+    (reference surface: HF ``Wav2Vec2EncoderLayerStableLayerNorm``,
+    ``src/coral/wav2vec2.py:104-126`` configures the model). Removes the
+    separate LN kernels and the normalised tensor's HBM round-trips; the
+    backward rebuilds the row stats from x (no matmul recompute — there is
+    no nonlinearity), emits ``ln_out`` once for the outside dW matmul, and
+    computes the full LN backward (dx, dgamma, dbeta) in-register.
+
+    Args:
+        x: (B, T, D) pre-LN residual stream.
+        w: (D, F) projection weight (column-sharded under TP; F = 3D for a
+            packed QKV projection).
+        b: (F,) bias.
+        gamma, beta: (D,) LayerNorm affine parameters.
+        eps: LayerNorm epsilon.
+        interpret: run the Pallas interpreter off-TPU.
+
+    Returns:
+        (B, T, F) projections in ``x.dtype``.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    D, F = w.shape
+    if D % 128 != 0 or F % 128 != 0:
+        h = jax.lax.dot_general(
+            _xla_ln(x, gamma, beta, eps), w.astype(x.dtype),
+            (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        ) + b.astype(jnp.float32)
+        return h.astype(x.dtype)
+    return _ln_dense(
+        x, w.astype(x.dtype), b, gamma, beta, float(eps), interpret
+    )
 
 
 def ffn_ln_fc1(

@@ -145,6 +145,7 @@ class Wav2Vec2Setup:
             fused_ffn=bool(model_cfg.get("fused_ffn", False))
             or bool(model_cfg.get("fused_ffn_ln", False)),
             fused_ffn_ln=bool(model_cfg.get("fused_ffn_ln", False)),
+            fused_qkv_ln=bool(model_cfg.get("fused_qkv_ln", False)),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", False)),
         )
         self.model = Wav2Vec2ForCTC(

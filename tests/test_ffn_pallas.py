@@ -329,3 +329,135 @@ def test_tensor_parallel_grads_match_single_device():
             np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-4,
             err_msg=f"d{name}",
         )
+
+
+def _lnmm_xla(x, w, b, gamma, beta, eps=1e-5):
+    from coral_tpu.ops.ffn_pallas import _xla_ln
+
+    h = jax.lax.dot_general(
+        _xla_ln(x, gamma, beta, eps), w.astype(x.dtype),
+        (((2,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + b.astype(jnp.float32)
+    return h.astype(x.dtype)
+
+
+def test_ln_dense_interpret_forward_matches_xla():
+    from coral_tpu.ops.ffn_pallas import ln_dense
+
+    x, w, b, gamma, beta = _ln_data(T=301)  # ragged last row-tile
+    got = ln_dense(x, w, b, gamma, beta, interpret=True)
+    ref = _lnmm_xla(x, w, b, gamma, beta)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_ln_dense_interpret_grads_match_xla():
+    from coral_tpu.ops.ffn_pallas import ln_dense
+
+    x, w, b, gamma, beta = _ln_data(T=130)
+
+    def loss(fn):
+        def inner(x, w, b, gamma, beta):
+            y = fn(x, w, b, gamma, beta)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got = jax.grad(
+        loss(lambda *a: ln_dense(*a, interpret=True)),
+        argnums=(0, 1, 2, 3, 4),
+    )(x, w, b, gamma, beta)
+    ref = jax.grad(loss(_lnmm_xla), argnums=(0, 1, 2, 3, 4))(
+        x, w, b, gamma, beta
+    )
+    for g, r, name in zip(got, ref, "x w b gamma beta".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_ln_dense_custom_eps_respected():
+    from coral_tpu.ops.ffn_pallas import ln_dense
+
+    x, w, b, gamma, beta = _ln_data()
+    got = ln_dense(x, w, b, gamma, beta, eps=1e-2, interpret=True)
+    ref = _lnmm_xla(x, w, b, gamma, beta, eps=1e-2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    bad = _lnmm_xla(x, w, b, gamma, beta, eps=1e-5)
+    assert np.abs(np.asarray(got) - np.asarray(bad)).max() > 1e-4
+
+
+def test_ln_dense_tensor_parallel_grads_match_single_device():
+    """Column-sharded W (packed QKV under TP): dx and dgamma/dbeta pick up
+    the model-axis psum inside the lowering."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from coral_tpu.ops.ffn_pallas import ln_dense
+
+    if jax.device_count() < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w, b, gamma, beta = _ln_data(T=96)
+
+    def loss(x, w, b, gamma, beta):
+        return jnp.sum(jnp.abs(ln_dense(x, w, b, gamma, beta,
+                                        interpret=True)))
+
+    ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, w, b, gamma, beta)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    ws = jax.device_put(w, NamedSharding(mesh, P(None, "model")))
+    bs = jax.device_put(b, NamedSharding(mesh, P("model")))
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    got = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3, 4)))(
+        xs, ws, bs, gamma, beta
+    )
+    for g, r, name in zip(got, ref, "x w b gamma beta".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-4, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_encoder_layer_fused_qkv_ln_parity():
+    """fused_qkv_ln keeps the nn.Dense/nn.LayerNorm tree paths and matches
+    the unfused encoder layer, forward and grads."""
+    from coral_tpu.models.wav2vec2 import EncoderLayer, Wav2Vec2Config
+
+    base = dict(
+        hidden_size=128, intermediate_size=256, num_attention_heads=2,
+        attention_impl="xla", encoder_ln_impl="xla", hidden_dropout=0.0,
+        activation_dropout=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(7).standard_normal((2, 24, 128)), jnp.float32
+    )
+    mask = jnp.ones((2, 24), bool)
+    outs, params = [], []
+    for fused in (False, True):
+        cfg = Wav2Vec2Config(fused_qkv_ln=fused, **base)
+        mod = EncoderLayer(cfg)
+        p = mod.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, mask, False,
+        )
+        params.append(p)
+
+        def loss(p, mod=mod):
+            y, _ = mod.apply(p, x, mask, False,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(y * jnp.sin(jnp.arange(y.shape[-1]))), y
+
+        (val, y), grads = jax.value_and_grad(loss, has_aux=True)(p)
+        outs.append((y, grads))
+    assert jax.tree_util.tree_structure(params[0]) == (
+        jax.tree_util.tree_structure(params[1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][0]), np.asarray(outs[1][0]), atol=2e-5
+    )
+    flat0 = jax.tree_util.tree_leaves_with_path(outs[0][1])
+    flat1 = jax.tree_util.tree_leaves_with_path(outs[1][1])
+    for (p0, g0), (p1, g1) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(g1), atol=5e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(p0),
+        )

@@ -61,6 +61,9 @@ def main() -> None:
     p.add_argument("--fused-ffn-ln", action="store_true",
                    help="additionally fold the pre-FFN LayerNorm into the "
                         "fused kernel (implies --fused-ffn)")
+    p.add_argument("--fused-qkv-ln", action="store_true",
+                   help="fold the pre-attention LN into a packed QKV "
+                        "projection kernel (ops/ffn_pallas.py ln_dense)")
     p.add_argument("--pos-fold", action="store_true",
                    help="positional conv via factor-2 space-to-depth fold "
                         "(full MXU tiles instead of 64-channel groups)")
@@ -94,6 +97,7 @@ def main() -> None:
         encoder_ln_impl=args.ln, attention_save_stats=args.attn_stats,
         fused_ffn=args.fused_ffn or args.fused_ffn_ln,
         fused_ffn_ln=args.fused_ffn_ln,
+        fused_qkv_ln=args.fused_qkv_ln,
         pos_conv_fold=args.pos_fold,
     )
     model = Wav2Vec2ForCTC(
@@ -177,6 +181,7 @@ def main() -> None:
         "fused_fe": not args.no_fused_fe,
         "fused_ffn": args.fused_ffn or args.fused_ffn_ln,
         "fused_ffn_ln": args.fused_ffn_ln,
+        "fused_qkv_ln": args.fused_qkv_ln,
         "pos_fold": args.pos_fold,
         "ln": args.ln,
         "freeze_fe": args.freeze_fe,
