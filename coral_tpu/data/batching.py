@@ -48,6 +48,7 @@ class BucketBatcher:
         label_pad_id: int = -100,
         drop_last: bool = True,
         audio_transfer_dtype: str = "float32",
+        fixed_label_length: bool = False,
     ) -> None:
         self.batch_size = batch_size
         self.accum_steps = accum_steps
@@ -55,6 +56,12 @@ class BucketBatcher:
         self.max_label_length = max_label_length
         self.label_pad_id = label_pad_id
         self.drop_last = drop_last
+        # Multi-process runs need host-independent shapes: every host must
+        # emit the same (A, B, L) for batch k so the per-host slices stitch
+        # into one global array (finetune.py forces this with one bucket,
+        # mirroring the reference's multi-GPU padding=max_length forcing,
+        # src/scripts/finetune_asr_model.py:55-61).
+        self.fixed_label_length = fixed_label_length
         # "int16" ships audio as PCM16 and converts to float on device: half
         # the host->device infeed bytes, lossless for 16-bit-sourced audio
         # (the training corpora are 16-bit PCM — the finetune loop selects it
@@ -87,7 +94,10 @@ class BucketBatcher:
         longest = max(
             (len(np.asarray(s["labels"])) for s in samples), default=1
         )
-        L = min(self.max_label_length, max(64, -(-longest // 64) * 64))
+        if self.fixed_label_length:
+            L = self.max_label_length
+        else:
+            L = min(self.max_label_length, max(64, -(-longest // 64) * 64))
         audio = np.zeros((A * B, bucket_len), dtype=np.float32)
         use_int16 = self.audio_transfer_dtype == "int16"
         lengths = np.zeros((A * B,), dtype=np.int32)

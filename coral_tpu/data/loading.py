@@ -29,8 +29,22 @@ SourceFactory = Callable[[], Iterable[dict]]
 
 
 def is_main_process() -> bool:
-    """Rank-0 detection (reference: src/coral/data.py:113)."""
-    return os.getenv("RANK", "0") == "0"
+    """Rank-0 detection (reference: src/coral/data.py:113).
+
+    An explicit ``RANK`` env var wins (the reference's accelerate-style
+    plumbing); otherwise the JAX process index decides, so a
+    ``jax.distributed``-initialised multi-process run gets correct rank-0
+    gating without any env setup.
+    """
+    rank = os.getenv("RANK")
+    if rank is not None:
+        return rank == "0"
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
 
 
 def _parse_synthetic_id(dataset_id: str) -> tuple[int, bool, float, float]:

@@ -79,6 +79,13 @@ class Wav2Vec2Config:
     # (nothing_saveable); named-checkpoint policies would replay the fwd
     # kernel to rebuild the extra residual.
     attention_save_stats: bool = False
+    # Save the attention output o as a VJP residual (it is the same flat
+    # tensor as the "attn_ctx" checkpoint, so policies saving attn_ctx cover
+    # it and nothing_saveable's replay produces it anyway) and use the
+    # flash-style delta = rowsum(do * o) backward — one (T, d) pass instead
+    # of the (T, T) sum(p * dp) multiply+reduction. Off = round-3 recompute
+    # backward (kept for A/B).
+    attention_o_residual: bool = True
     # Feature encoder: fuse each stride-2 conv block with its LayerNorm+GELU
     # into one Pallas pass (ops/conv_ln_gelu_pallas.py). False = XLA conv +
     # the fused LN+GELU kernel.
@@ -468,35 +475,46 @@ class Attention(nn.Module):
             q = checkpoint_name(qkv[:, :, :D], "q")
             k = checkpoint_name(qkv[:, :, D:2 * D], "k")
             v = checkpoint_name(qkv[:, :, 2 * D:], "v")
-            q = q.reshape(B, T, H, head_dim)
-            k = k.reshape(B, T, H, head_dim)
-            v = v.reshape(B, T, H, head_dim)
         else:
-            q = checkpoint_name(proj("q_proj")(x), "q").reshape(
-                B, T, H, head_dim
-            )
-            k = checkpoint_name(proj("k_proj")(x), "k").reshape(
-                B, T, H, head_dim
-            )
-            v = checkpoint_name(proj("v_proj")(x), "v").reshape(
-                B, T, H, head_dim
-            )
+            q = checkpoint_name(proj("q_proj")(x), "q")
+            k = checkpoint_name(proj("k_proj")(x), "k")
+            v = checkpoint_name(proj("v_proj")(x), "v")
 
         if cfg.attention_impl == "pallas":
-            from ..ops.attention_pallas import short_t_attention
+            from ..ops.attention_pallas import short_t_attention_flat
 
-            out = short_t_attention(
-                q, k, v, pad_mask, save_stats=cfg.attention_save_stats
+            # Flat (B, T, D) end to end: the kernel reads lane slices of the
+            # projection outputs directly, and the flat output IS the
+            # "attn_ctx" checkpoint AND the kernel's o residual (flash-style
+            # delta backward) — no reshapes, no extra forward replay. The
+            # o_residual path names "attn_ctx" itself (the name must land on
+            # the residual var); the other paths are named below.
+            out = short_t_attention_flat(
+                q, k, v, pad_mask, head_dim,
+                save_stats=cfg.attention_save_stats,
+                o_residual=cfg.attention_o_residual,
             )
-        elif cfg.attention_impl == "flash":
-            out = _flash_attention(q, k, v, pad_mask, head_dim)
+            if not (cfg.attention_o_residual and not cfg.attention_save_stats):
+                out = checkpoint_name(out, "attn_ctx")
+            out = proj("out_proj")(out)
+            out = nn.Dropout(cfg.hidden_dropout)(
+                out, deterministic=deterministic
+            )
+            return out
         else:
-            # (B, T) padding mask -> additive bias broadcast over heads/queries
-            bias = jnp.where(
-                pad_mask[:, None, None, :], 0.0, -1e30
-            ).astype(cfg.dtype)
-            out = jax.nn.dot_product_attention(q, k, v, bias=bias)
-        out = checkpoint_name(out.reshape(B, T, D), "attn_ctx")
+            q4 = q.reshape(B, T, H, head_dim)
+            k4 = k.reshape(B, T, H, head_dim)
+            v4 = v.reshape(B, T, H, head_dim)
+            if cfg.attention_impl == "flash":
+                out = _flash_attention(q4, k4, v4, pad_mask, head_dim)
+            else:
+                # (B, T) padding mask -> additive bias over heads/queries
+                bias = jnp.where(
+                    pad_mask[:, None, None, :], 0.0, -1e30
+                ).astype(cfg.dtype)
+                out = jax.nn.dot_product_attention(q4, k4, v4, bias=bias)
+            out = out.reshape(B, T, D)
+        out = checkpoint_name(out, "attn_ctx")
         out = proj("out_proj")(out)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         return out
@@ -670,7 +688,12 @@ _REMAT_POLICIES = {
     # the layer forward: the attention context (~49 MB/layer at B=48 x 10 s)
     # and the fused-FFN activation (~196 MB/layer). The backward replay then
     # DCEs both the attention fwd kernel and the FFN up-projection kernel,
-    # recomputing only the LN/projection matmuls.
+    # recomputing only the LN/projection matmuls. PREREQUISITES: "ffn_act"
+    # is only emitted on the fused-FFN path (the unfused path names
+    # "ffn_hidden"), so without fused_ffn this silently degrades to
+    # save_attn_ctx behaviour (model_setup warns); and like save_attn_ctx it
+    # requires attention_save_stats=False (the stats variant's lse residual
+    # is not policy-saved and would force a forward replay).
     "save_ctx_act": jax.checkpoint_policies.save_only_these_names(
         "attn_ctx", "ffn_act"
     ),

@@ -162,6 +162,65 @@ def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
 
 
+def _bwd_kernel_ctx(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
+                    dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                    head_dim: int):
+    """Backward fed the forward's OUTPUT ``o`` as a residual: the softmax
+    delta becomes the flash-style (T, d) row sum ``delta = rowsum(do * o)``
+    (identical math: sum_j p_ij dp_ij = sum_d do_id (p v)_id), replacing the
+    recompute path's (T, T) ``p * dp`` multiply + row reduction. The round-3
+    attempt at this was reverted because the o residual was a pre-reshape
+    value the remat policies couldn't match; the flat (B, T, H*d) layout
+    (== the model's (B, T, D) ``attn_ctx``) removes the reshape entirely, so
+    the saved/replayed ``attn_ctx`` IS the residual."""
+    bias = bias_ref[0]
+    n_heads = q_ref.shape[2] // head_dim
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
+        k = k_ref[0, :, lanes]
+        v = v_ref[0, :, lanes]
+        do = do_ref[0, :, lanes]
+        o = o_ref[0, :, lanes]
+
+        # delta first: a (T, d) pass, fp32.
+        delta = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=1, keepdims=True,
+        )
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)
+        p = e / l
+
+        pb = p.astype(q.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = (p * (dp - delta)).astype(q.dtype)
+        dq = jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        dk = jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dq_ref[0, :, lanes] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, lanes] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
+
+
 def _bwd_kernel(q_ref, k_ref, v_ref, bias_ref, do_ref, dq_ref, dk_ref, dv_ref,
                 *, sm_scale: float, head_dim: int):
     # NOTE (round 3): two "obvious" rewrites measured SLOWER end-to-end and
@@ -285,6 +344,25 @@ def _bwd_pallas(q, k, v, bias, do, sm_scale, head_dim, interpret):
         out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
         interpret=interpret,
     )(q, k, v, bias, do)
+
+
+def _bwd_ctx_pallas(q, k, v, bias, do, o, sm_scale, head_dim, interpret):
+    B, T, HD = q.shape
+    groups = _head_groups(
+        HD, head_dim, n_blocks=9, T=T, itemsize=q.dtype.itemsize
+    )
+    qkv_spec, bias_spec = _specs(T, HD, groups)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_ctx, sm_scale=sm_scale, head_dim=head_dim
+        ),
+        grid=(B, groups),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec, qkv_spec,
+                  qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, bias, do, o)
 
 
 def _lse_spec(T, H, groups):
@@ -437,6 +515,43 @@ def _bwd_cp(sm_scale, head_dim, interpret):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_ctx_cp(sm_scale, head_dim, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bias, do, o: _bwd_ctx_pallas(
+            q, k, v, bias, do, o, sm_scale, head_dim, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        batch_spec = sh.spec[0]
+        arg_shs = (
+            sh, sh, sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+            sh, sh,
+        )
+        lower = functools.partial(
+            _bwd_ctx_pallas, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
+        )
+        return mesh, lower, (sh, sh, sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b t h, b t h, b t h, b u t, b t h, b t h -> "
+            "b t h, b t h, b t h"
+        ),
+    )
+    return f
+
+
 def _lse_sharding(sharding, mesh):
     """lse is (B, H, T): the batch spec lands on dim 0 and the q/k/v lane
     (TP head) spec on dim 1; T replicated."""
@@ -548,6 +663,41 @@ _attention.defvjp(_attention_fwd, _attention_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_ctx(q, k, v, bias, sm_scale, head_dim, interpret):
+    o, _ = _attention_ctx_fwd(q, k, v, bias, sm_scale, head_dim, interpret)
+    return o
+
+
+def _attention_ctx_fwd(q, k, v, bias, sm_scale, head_dim, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = _fwd_cp(sm_scale, head_dim, interpret)(q, k, v, bias)
+    # o joins the residuals: the flash-style delta = rowsum(do * o) replaces
+    # the (T, T) sum(p * dp) pass in the backward. The "attn_ctx" checkpoint
+    # name is applied HERE, before the residual capture, so the named var IS
+    # the residual var: under save_attn_ctx/save_ctx_act/save_matmul_inputs
+    # the policy-saved tensor directly feeds the backward (the forward
+    # kernel DCEs out of the remat replay), and under nothing_saveable the
+    # replayed forward had to produce it for the out-projection's dW anyway.
+    # (Naming a post-hoc copy in the model instead would leave the residual
+    # an unsaved upstream var and silently re-run the kernel — the round-3
+    # o-residual trap.)
+    o = checkpoint_name(o, "attn_ctx")
+    return o, (q, k, v, bias, o)
+
+
+def _attention_ctx_bwd(sm_scale, head_dim, interpret, res, do):
+    q, k, v, bias, o = res
+    dq, dk, dv = _bwd_ctx_cp(sm_scale, head_dim, interpret)(
+        q, k, v, bias, do, o
+    )
+    return dq, dk, dv, None
+
+
+_attention_ctx.defvjp(_attention_ctx_fwd, _attention_ctx_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attention_stats(q, k, v, bias, sm_scale, head_dim, interpret):
     o, _ = _attention_stats_fwd(q, k, v, bias, sm_scale, head_dim, interpret)
     return o
@@ -598,8 +748,42 @@ def short_t_attention(
         (B, T, H, d) attention outputs, same dtype as ``q``.
     """
     B, T, H, d = q.shape
+    flat = lambda x: x.reshape(B, T, H * d)  # noqa: E731
+    o = short_t_attention_flat(
+        flat(q), flat(k), flat(v), pad_mask, d,
+        sm_scale=sm_scale, interpret=interpret, save_stats=save_stats,
+        o_residual=False,
+    )
+    return o.reshape(B, T, H, d)
+
+
+def short_t_attention_flat(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    pad_mask: jnp.ndarray,
+    head_dim: int,
+    sm_scale: float | None = None,
+    interpret: bool | None = None,
+    save_stats: bool = False,
+    o_residual: bool = True,
+) -> jnp.ndarray:
+    """``short_t_attention`` on the flat (B, T, H*d) projection layout.
+
+    The model's q/k/v projections already produce (B, T, D) and the kernel
+    consumes lane slices of exactly that, so this entry skips the 4D
+    reshape round-trip. ``o_residual=True`` (default) additionally saves the
+    output as a VJP residual and uses the flash-style
+    ``delta = rowsum(do * o)`` backward — one (T, d) pass instead of the
+    (T, T) ``sum(p * dp)`` multiply+reduction. The flat output is the tensor
+    the model names "attn_ctx", so named-checkpoint policies that save it
+    (save_attn_ctx / save_ctx_act) cover the residual with no extra forward
+    replay; under nothing_saveable the replayed forward had to produce it
+    for the out-projection's dW anyway.
+    """
+    B, T, HD = q.shape
     if sm_scale is None:
-        sm_scale = float(d) ** -0.5
+        sm_scale = float(head_dim) ** -0.5
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     # Large-negative finite bias (like the XLA path in models/wav2vec2.py):
@@ -607,7 +791,10 @@ def short_t_attention(
     # a uniform distribution instead of exp(-inf + inf) = NaN poisoning the
     # summed loss.
     bias = jnp.where(pad_mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
-    flat = lambda x: x.reshape(B, T, H * d)  # noqa: E731
-    fn = _attention_stats if save_stats else _attention
-    o = fn(flat(q), flat(k), flat(v), bias, sm_scale, d, interpret)
-    return o.reshape(B, T, H, d)
+    if save_stats:
+        fn = _attention_stats
+    elif o_residual:
+        fn = _attention_ctx
+    else:
+        fn = _attention
+    return fn(q, k, v, bias, sm_scale, head_dim, interpret)

@@ -54,3 +54,34 @@ def zero_shardings(tree, mesh: Mesh, min_size: int = MIN_SHARD_SIZE):
         return NamedSharding(mesh, P())
 
     return jax.tree.map(leaf_sharding, tree)
+
+
+def host_batch_to_global(batch: dict, shardings: dict):
+    """Host-replicated eval batch -> global sharded arrays (multi-process).
+
+    Single-process: returns the batch untouched (jit's implicit transfer
+    handles it). Multi-process: every host holds the SAME full batch; each
+    contributes its own row slice so the jitted computation sees one global
+    array — the multi-host counterpart of the reference's
+    ``dispatch_batches=False`` eval feeding (src/coral/whisper.py:227-230).
+    Outputs of multi-process eval steps must be replicated (see the
+    ``out_shardings`` at the predictor jits) so every host can fetch them.
+    """
+    world = jax.process_count()
+    if world == 1:
+        return batch
+    pid = jax.process_index()
+
+    def to_global(name: str, v):
+        rows = v.shape[0]
+        if rows % world:
+            raise ValueError(
+                f"eval batch rows ({rows}) not divisible by process count "
+                f"({world}); pad eval batches to the global batch size"
+            )
+        local = rows // world
+        return jax.make_array_from_process_local_data(
+            shardings[name], v[pid * local:(pid + 1) * local]
+        )
+
+    return {k: to_global(k, v) for k, v in batch.items()}

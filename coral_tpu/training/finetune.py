@@ -63,9 +63,22 @@ def finetune(config: Any) -> dict[str, float]:
     """
     # Multi-host: one jax process per host over ICI/DCN — the TPU-native
     # replacement for the reference's accelerate/NCCL rank plumbing
-    # (reference: makefile:80-93, finetune.py:31).
+    # (reference: makefile:80-93, finetune.py:31). On TPU pods the three
+    # coordinates auto-detect from the cluster environment; CPU/GPU
+    # multi-process runs pass them explicitly (coordinator_address=host:port,
+    # num_processes=N, process_id=i — tests/test_multiprocess.py drives this).
     if config.get("distributed", False):
-        jax.distributed.initialize()
+        jax.distributed.initialize(
+            coordinator_address=config.get("coordinator_address"),
+            num_processes=(
+                int(n) if (n := config.get("num_processes")) is not None
+                else None
+            ),
+            process_id=(
+                int(p) if (p := config.get("process_id")) is not None
+                else None
+            ),
+        )
 
     # The rbg PRNG generates dropout/SpecAugment bits ~10x faster on TPU than
     # threefry (measured +9.6% step throughput on v5e) and is the partitionable
@@ -86,6 +99,11 @@ def finetune(config: Any) -> dict[str, float]:
     n_data = mesh.shape["data"]
     accum = compute_accumulation_steps(config, n_data)
     micro_batch = int(config.per_device_batch_size) * n_data
+    # Multi-process: each host assembles only its devices' rows of the
+    # global microbatch; the per-host slices are stitched into one global
+    # array below (make_array_from_process_local_data), never gathered.
+    world = jax.process_count()
+    host_micro_batch = micro_batch // world
     max_steps = int(config.max_steps)
 
     num_buckets = (
@@ -94,6 +112,15 @@ def finetune(config: Any) -> dict[str, float]:
         and not setup.force_single_bucket
         else 1
     )
+    if world > 1 and num_buckets != 1:
+        # Hosts bucket independently; batch k must have identical shape and
+        # draw from the same global sample window on every host. One bucket +
+        # fixed label padding guarantees it (the reference forces
+        # padding=max_length for multi-GPU the same way,
+        # src/scripts/finetune_asr_model.py:55-61).
+        if is_main:
+            logger.info("Multi-process run: forcing a single length bucket.")
+        num_buckets = 1
     sample_rate = int(config.model.sampling_rate)
     # Audio padding geometry is family-specific: CTC buckets up to the clip
     # bound; Whisper pads to the checkpoint's 30 s chunk.
@@ -164,7 +191,7 @@ def finetune(config: Any) -> dict[str, float]:
     metric_key = f"{val_names[0]}_cer" if val_names else None
 
     batcher = BucketBatcher(
-        batch_size=micro_batch,
+        batch_size=host_micro_batch,
         accum_steps=accum,
         max_seconds=max_seconds,
         sample_rate=sample_rate,
@@ -179,6 +206,7 @@ def finetune(config: Any) -> dict[str, float]:
         audio_transfer_dtype=str(
             config.get("audio_transfer_dtype", "int16")
         ),
+        fixed_label_length=world > 1,
     )
 
     def batch_stream():
@@ -240,12 +268,28 @@ def finetune(config: Any) -> dict[str, float]:
     # dataloader workers (reference src/coral/wav2vec2.py:247 overlaps only
     # host-side collation). jax.device_put is dispatch-thread-safe; the queue
     # bounds in-flight transfers to `prefetch_size` batches of HBM.
+    if world > 1:
+        # Per-host batch slices -> one global sharded array per leaf. The
+        # audio-seconds count is per-host; scale to the global batch for the
+        # throughput log (hosts draw equal-sized slices).
+        def _put(b):
+            return (
+                float(np.sum(b["input_lengths"])) / sample_rate * world,
+                {
+                    k: jax.make_array_from_process_local_data(batch_sh[k], v)
+                    for k, v in b.items()
+                },
+            )
+    else:
+        def _put(b):
+            return (
+                float(np.sum(b["input_lengths"])) / sample_rate,
+                jax.device_put(b, batch_sh),
+            )
+
     batches = prefetch_to_device(
         stream,
-        put_fn=lambda b: (
-            float(np.sum(b["input_lengths"])) / sample_rate,
-            jax.device_put(b, batch_sh),
-        ),
+        put_fn=_put,
         prefetch_size=int(config.get("prefetch_size", 2)),
     )
 
@@ -371,8 +415,11 @@ def finetune(config: Any) -> dict[str, float]:
         if is_main:
             logger.info(f"Loaded best checkpoint (step {best}) for the final save.")
 
+    # All ranks participate: the orbax save is collective on a multi-process
+    # runtime (rank-0-only would deadlock its finalization barrier); the
+    # host-side writes inside are rank-0 gated.
+    save_model(config, setup, state)
     if is_main:
-        save_model(config, setup, state)
         logger.info(f"Saved final model to {model_dir}.")
     checkpointer.close()
 
@@ -406,16 +453,26 @@ def save_model(config: Any, setup: Any, state: Any) -> None:
 
     from ..config import to_yaml
 
+    is_main = jax.process_index() == 0
     model_dir = Path(config.model_dir).resolve()
-    model_dir.mkdir(parents=True, exist_ok=True)
+    if is_main:
+        model_dir.mkdir(parents=True, exist_ok=True)
     params = jax.tree.map(np.asarray, jax.device_get(state.params))
     path = model_dir / "model"
-    with ocp.StandardCheckpointer() as ckptr:
+    if is_main and path.exists():
         import shutil
 
-        if path.exists():
-            shutil.rmtree(path)
+        shutil.rmtree(path)
+    if jax.process_count() > 1:
+        # The rank-0 cleanup must land before any rank's orbax save starts.
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("coral_save_model_clean")
+    with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, params)
         ckptr.wait_until_finished()
-    setup.tokenizer.save_pretrained(model_dir)
-    (model_dir / "config.yaml").write_text(to_yaml(config), encoding="utf-8")
+    if is_main:
+        setup.tokenizer.save_pretrained(model_dir)
+        (model_dir / "config.yaml").write_text(
+            to_yaml(config), encoding="utf-8"
+        )

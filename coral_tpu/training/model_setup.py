@@ -26,7 +26,7 @@ import numpy as np
 
 from ..models import Wav2Vec2Config, Wav2Vec2ForCTC
 from ..models.whisper import WhisperConfig
-from ..parallel import batch_sharding
+from ..parallel import batch_sharding, host_batch_to_global, replicated
 from ..text.tokenizer import CtcTokenizer, dump_vocabulary
 from ..text.whisper_tokenizer import WhisperTokenizer
 
@@ -142,19 +142,48 @@ class Wav2Vec2Setup:
             attention_impl=model_cfg.get("attention_impl", "pallas"),
             fused_fe_conv=bool(model_cfg.get("fused_fe_conv", True)),
             encoder_ln_impl=model_cfg.get("encoder_ln_impl", "pallas"),
-            fused_ffn=bool(model_cfg.get("fused_ffn", False))
+            # Defaults = the measured round-3 winning stack (bench.py /
+            # PARITY.md attribution table: fused FFN w/ LN fold + folded
+            # positional conv, 871.5 audio-s/s/chip at B=48 on v5e), so the
+            # production `model=wav2vec2-small` surface delivers the headline
+            # number. Each flag keeps its per-flag opt-out.
+            fused_ffn=bool(model_cfg.get("fused_ffn", True))
             or bool(model_cfg.get("fused_ffn_ln", False)),
-            fused_ffn_ln=bool(model_cfg.get("fused_ffn_ln", False)),
+            fused_ffn_ln=bool(
+                model_cfg.get("fused_ffn_ln", model_cfg.get("fused_ffn", True))
+            ),
             fused_qkv_ln=bool(model_cfg.get("fused_qkv_ln", False)),
-            pos_conv_fold=bool(model_cfg.get("pos_conv_fold", False)),
+            pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
         )
+        if not self.model_config.do_stable_layer_norm and (
+            self.model_config.fused_ffn_ln or self.model_config.fused_qkv_ln
+        ):
+            # The LN folds assume the pre-LN architecture (single-consumer
+            # LN); the post-LN branch never routes the LN into the fused
+            # kernels, so the flags would silently measure the unfused path.
+            raise ValueError(
+                "fused_ffn_ln / fused_qkv_ln require do_stable_layer_norm "
+                "(pre-LN, the XLS-R architecture); set fused_ffn_ln=false "
+                "and fused_qkv_ln=false for post-LN configs."
+            )
+        remat_policy = config.get("remat_policy", "nothing_saveable")
+        if remat_policy == "save_ctx_act" and not self.model_config.fused_ffn:
+            # save_ctx_act saves "ffn_act", emitted only on the fused-FFN
+            # path (the unfused path names "ffn_hidden"); without fused_ffn
+            # it silently degrades to save_attn_ctx behaviour.
+            logger.warning(
+                "remat_policy=save_ctx_act without fused_ffn degrades to "
+                "save_attn_ctx (no 'ffn_act' checkpoint is emitted)."
+            )
         self.model = Wav2Vec2ForCTC(
             self.model_config,
             gradient_checkpointing=bool(config.get("gradient_checkpointing", True)),
-            # Measured on v5e (B=32 x 10 s): saving the five matmul inputs per
-            # layer beats full recompute and fits alongside the pallas
-            # attention kernel; see models/wav2vec2.py:_REMAT_POLICIES.
-            remat_policy=config.get("remat_policy", "save_matmul_inputs"),
+            # Default = full replay (nothing_saveable): with the fused FFN/LN
+            # and attention kernels the recompute is cheaper than the
+            # saved-activation stacking traffic named-checkpoint policies pay
+            # (round-3 A/Bs, PARITY.md attribution table); it also frees the
+            # HBM that lets B=48 fit. See models/wav2vec2.py:_REMAT_POLICIES.
+            remat_policy=remat_policy,
             # Default OFF since round 3: the fused kernels freed enough HBM
             # for the conv intermediates (767 -> 778 audio-s/s), and the
             # fused conv blocks emit no "conv_raw" checkpoint name, so the
@@ -223,7 +252,10 @@ class Wav2Vec2Setup:
             freeze_feature_encoder=self.freeze_feature_encoder,
             augment=augment,
             noise_bank=noise_bank,
-            grad_dtype=self.config.get("grad_dtype", None),
+            # bf16 gradient buffers with f32 master params (DeepSpeed bf16
+            # grad-reduction semantics) — measured faster at B=48 in the
+            # adopted round-3 stack; `grad_dtype: float32` opts out.
+            grad_dtype=self.config.get("grad_dtype", "bfloat16"),
         )
 
     def make_predictor(self, mesh, param_sharding) -> Callable:
@@ -237,11 +269,16 @@ class Wav2Vec2Setup:
         eval_step = jax.jit(
             make_ctc_eval_step(self.model),
             in_shardings=(param_sharding, eval_sh),
+            # Replicated ids: every host decodes the full batch (multi-host
+            # eval parity), and the arrays are tiny.
+            out_shardings=(replicated(mesh), replicated(mesh)),
         )
         tokenizer = self.tokenizer
 
         def predict(params, batch: dict) -> list[str]:
-            pred_ids, frame_lengths = eval_step(params, batch)
+            pred_ids, frame_lengths = eval_step(
+                params, host_batch_to_global(batch, eval_sh)
+            )
             pred_ids = np.asarray(pred_ids)
             frame_lengths = np.asarray(frame_lengths)
             return [
@@ -287,7 +324,11 @@ class Wav2Vec2Setup:
             "input_values": batch_sharding(mesh, axis=0),
             "input_lengths": batch_sharding(mesh, axis=0),
         }
-        step = jax.jit(logprob_step, in_shardings=(param_sharding, eval_sh))
+        step = jax.jit(
+            logprob_step,
+            in_shardings=(param_sharding, eval_sh),
+            out_shardings=(replicated(mesh), replicated(mesh)),
+        )
 
         vocab = [
             self.tokenizer.ids_to_tokens[i]
@@ -304,7 +345,9 @@ class Wav2Vec2Setup:
         )
 
         def predict(params, batch: dict) -> list[str]:
-            log_probs, frame_lengths = step(params, batch)
+            log_probs, frame_lengths = step(
+                params, host_batch_to_global(batch, eval_sh)
+            )
             return decoder.decode_batch(
                 np.asarray(log_probs), np.asarray(frame_lengths)
             )
@@ -464,11 +507,14 @@ class WhisperSetup:
                 timestamp_begin=self.tokenizer.timestamp_begin,
             ),
             in_shardings=(param_sharding, eval_sh),
+            out_shardings=replicated(mesh),
         )
         tokenizer = self.tokenizer
 
         def predict(params, batch: dict) -> list[str]:
-            ids = np.asarray(generate(params, batch))
+            ids = np.asarray(
+                generate(params, host_batch_to_global(batch, eval_sh))
+            )
             return tokenizer.batch_decode(ids)
 
         return predict

@@ -7,11 +7,42 @@ chip against XLA references, so each perf round re-proves numerics with:
 
     python tools/verify_kernels.py
 
-Exit code 0 = all kernels within tolerance. Referenced from PARITY.md.
+Exit code 0 = all kernels within tolerance AND no margin regression.
+
+Tolerances are NOT hand-picked per check. Every comparison uses one
+derived bound:
+
+    bound_j = C * eps * growth * max(|want_j|, rms(want))
+
+- ``eps`` is the half-ulp rounding error of the *operand* dtype (bf16 =
+  2^-9, f32 = 2^-24): both sides of the comparison compute from
+  identically-rounded operands, so they differ only by rounding /
+  accumulation-order noise of that magnitude.
+- ``rms(want)`` floors the per-element scale: a length-K random-sign
+  contraction has output rms ~ sqrt(K) * summand-rms and error std
+  ~ eps * sqrt(K) * summand-rms, so error is O(eps * rms(want)) — the
+  sqrt(K) lives inside the data, not in a constant.
+- ``growth`` covers ops whose error accumulates *without* showing up in
+  the output magnitude: sqrt(K) for normalized K-term reductions
+  (LayerNorm row stats: the output is O(1) while the mean/var reductions
+  accumulate K rounding terms) and K for T-step sequential log-space
+  recursions (CTC: no cancellation guarantees through logaddexp chains).
+  Plain contractions use growth = 1.
+- ``C`` is one global constant (16): two rounded operands per product
+  (2x), both comparison sides carry error (2x), and a max-over-millions
+  Gaussian tail (~4 sigma).
+
+On top of the absolute bound, per-check margins (err / bound) are
+compared against the committed baseline (tools/kernel_margins.json,
+recorded on hardware with ``--update-baseline``): a margin that grows
+more than 1.5x + 0.05 over baseline FAILS even while inside the bound,
+so a genuine numerics regression trips the gate long before it reaches
+the derived ceiling. Referenced from PARITY.md.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import sys
 
@@ -26,22 +57,45 @@ import numpy as np
 
 PASS = []
 FAIL = []
+MARGINS: dict[str, float] = {}
+
+C_GLOBAL = 16.0
+EPS_HALF_ULP = {"bfloat16": 2.0 ** -9, "float32": 2.0 ** -24}
+BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "kernel_margins.json")
 
 
-def check(name: str, got, want, atol: float, rtol: float = 0.0):
+def check(name: str, got, want, *, op_dtype: str = "bfloat16",
+          growth: float = 1.0):
+    """Derived-bound comparison; records the margin for regression gating."""
     got = np.asarray(got, dtype=np.float64)
     want = np.asarray(want, dtype=np.float64)
-    err = np.max(np.abs(got - want) / (atol + rtol * np.abs(want)))
+    rms = float(np.sqrt(np.mean(want ** 2)))
+    scale = np.maximum(np.abs(want), rms)
+    bound = C_GLOBAL * EPS_HALF_ULP[op_dtype] * growth * scale
+    err = float(np.max(np.abs(got - want) / bound))
+    name = f"{_SECTION}/{name}" if _SECTION else name
+    MARGINS[name] = err
     ok = bool(err <= 1.0)
     (PASS if ok else FAIL).append(name)
-    print(f"  {'PASS' if ok else 'FAIL'}  {name:48s} rel-to-tol={err:.3f}")
+    print(f"  {'PASS' if ok else 'FAIL'}  {name:48s} margin={err:.3f}"
+          f"  (eps={op_dtype}, growth={growth:g}, rms={rms:.3g})")
+
+
+_SECTION = ""
+
+
+def section(title: str) -> None:
+    global _SECTION
+    _SECTION = title
+    print(f"{title}:")
 
 
 def verify_attention_pallas():
     """short_t_attention fwd/bwd (the wav2vec2 encoder kernel) vs XLA."""
     from coral_tpu.ops.attention_pallas import short_t_attention
 
-    print("attention_pallas (short_t_attention):")
+    section("short_t_attention")
     rng = np.random.default_rng(0)
     B, T, H, d = 4, 499, 16, 64
     q, k, v = (
@@ -64,31 +118,50 @@ def verify_attention_pallas():
 
     fused = jax.jit(lambda q, k, v: short_t_attention(q, k, v, mask))
     ref = jax.jit(xla_ref)
-    check("forward", fused(q, k, v), ref(q, k, v), atol=2e-2)
+    check("forward", fused(q, k, v), ref(q, k, v))
 
     loss = lambda f: lambda q, k, v: jnp.sum(  # noqa: E731
         f(q, k, v).astype(jnp.float32) ** 2
     )
     g_fused = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(q, k, v)
     g_ref = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(q, k, v)
+    # growth=3 for every attention backward: the kernel rounds ds and p to
+    # bf16 before the MXU contractions (the f32 reference autodiff does
+    # not), and the softmax-derivative cancellation (dp - delta) shrinks
+    # |ds| relative to the rounded operands — measured ~30 half-ulps of
+    # relative error on hardware, structural, not a regression.
     for name, a, b in zip(("dq", "dk", "dv"), g_fused, g_ref):
-        check(f"backward {name}", a, b, atol=1.0, rtol=2e-2)
+        check(f"backward {name}", a, b, growth=3.0)
 
     # save_stats variant: lse residual from the fwd, one-pass p rebuild in bwd
     stats = jax.jit(
         lambda q, k, v: short_t_attention(q, k, v, mask, save_stats=True)
     )
-    check("save_stats forward", stats(q, k, v), ref(q, k, v), atol=2e-2)
+    check("save_stats forward", stats(q, k, v), ref(q, k, v))
     g_stats = jax.jit(jax.grad(loss(stats), argnums=(0, 1, 2)))(q, k, v)
     for name, a, b in zip(("dq", "dk", "dv"), g_stats, g_ref):
-        check(f"save_stats backward {name}", a, b, atol=1.0, rtol=2e-2)
+        check(f"save_stats backward {name}", a, b, growth=3.0)
+
+    # o-residual variant (the production flat path): flash-style delta bwd
+    from coral_tpu.ops.attention_pallas import short_t_attention_flat
+
+    flat = lambda x: x.reshape(B, T, H * d)  # noqa: E731
+    ctx = jax.jit(
+        lambda q, k, v: short_t_attention_flat(
+            flat(q), flat(k), flat(v), mask, d, o_residual=True
+        ).reshape(B, T, H, d)
+    )
+    check("o_residual forward", ctx(q, k, v), ref(q, k, v))
+    g_ctx = jax.jit(jax.grad(loss(ctx), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g_ctx, g_ref):
+        check(f"o_residual backward {name}", a, b, growth=3.0)
 
 
 def verify_ln_gelu():
     """Fused LayerNorm(+GELU) fwd/bwd (feature-encoder kernel) vs XLA."""
     from coral_tpu.ops.ln_gelu_pallas import ln_fused, ln_gelu
 
-    print("ln_gelu_pallas (ln_gelu / ln_fused):")
+    section("ln_gelu_pallas")
     rng = np.random.default_rng(1)
     B, T, C = 4, 3199, 512  # ragged last tile on purpose
     x = jnp.asarray(rng.standard_normal((B, T, C)), jnp.float32)
@@ -106,20 +179,24 @@ def verify_ln_gelu():
                                (ln_fused, False, "ln_fused")):
         fused = jax.jit(lambda x, g, b, f=fused_fn: f(x, g, b, interpret=False))
         plain = jax.jit(lambda x, g, b, a=act: ref(x, g, b, a))
+        # f32 path: growth = sqrt(C) covers the C-term row-stat rounding
+        # accumulation and the GELU minimax polynomial's 1.4e-6 (~23
+        # half-ulp) approximation error vs the exact-erf reference.
         check(f"{tag} forward", fused(x, gamma, beta), plain(x, gamma, beta),
-              atol=2e-5)
+              op_dtype="float32", growth=C ** 0.5)
         loss = lambda f: lambda *a: jnp.sum(jnp.sin(f(*a)))  # noqa: E731
         gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(x, gamma, beta)
         gr = jax.jit(jax.grad(loss(plain), argnums=(0, 1, 2)))(x, gamma, beta)
         for name, a, b in zip(("dx", "dgamma", "dbeta"), gf, gr):
-            check(f"{tag} backward {name}", a, b, atol=1e-4, rtol=1e-4)
+            check(f"{tag} backward {name}", a, b,
+                  op_dtype="float32", growth=C ** 0.5)
 
 
 def verify_conv_ln_gelu():
     """Fused stride-2 conv+LN+GELU (feature-encoder block kernel) vs XLA."""
     from coral_tpu.ops.conv_ln_gelu_pallas import conv_ln_gelu, _xla_reference
 
-    print("conv_ln_gelu_pallas:")
+    section("conv_ln_gelu")
     rng = np.random.default_rng(7)
     B, C = 4, 512
     for k, T_in in ((3, 3201), (2, 998)):  # ragged last slab on purpose
@@ -134,11 +211,10 @@ def verify_conv_ln_gelu():
             x, w, b, g, bt, interpret=False))
         plain = jax.jit(lambda x, w, b, g, bt, k=k: _xla_reference(
             x, w, b, g, bt, k, 1e-5))
-        # atol re-measured on hardware: k=2 peaked at 1.04x the original
-        # 3e-2 purely from bf16 conv-operand rounding (dx/db/dgamma margins
-        # are 50x inside tolerance).
+        # growth=2: the LN quotient routes the conv-contraction rounding
+        # error through both the centred numerator and the row stats.
         check(f"k={k} forward", fused(x, w, b, gamma, beta),
-              plain(x, w, b, gamma, beta), atol=5e-2)
+              plain(x, w, b, gamma, beta), growth=2.0)
         loss = lambda f: lambda *a: jnp.sum(  # noqa: E731
             f(*a).astype(jnp.float32) ** 2)
         gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2, 3, 4)))(
@@ -146,18 +222,14 @@ def verify_conv_ln_gelu():
         gr = jax.jit(jax.grad(loss(plain), argnums=(0, 1, 2, 3, 4)))(
             x, w, b, gamma, beta)
         for name, a, bb in zip(("dx", "dw", "db", "dgamma", "dbeta"), gf, gr):
-            # dw accumulates T/2 bf16 products per tap: re-measured at up to
-            # 1.23x the original rtol=2e-2 (pure operand rounding; dx at the
-            # same shapes is 60x inside tolerance).
-            tol = 4e-2 if name == "dw" else 2e-2
-            check(f"k={k} backward {name}", a, bb, atol=1.0, rtol=tol)
+            check(f"k={k} backward {name}", a, bb, growth=2.0)
 
 
 def verify_gelu_dropout():
     """Fused GELU+dropout: exact at rate=0; mask/scale law at rate>0."""
     from coral_tpu.ops.gelu_dropout_pallas import gelu_dropout
 
-    print("gelu_dropout_pallas:")
+    section("gelu_dropout")
     rng = np.random.default_rng(2)
     B, T, F = 4, 499, 4096
     x = jnp.asarray(rng.standard_normal((B, T, F)), jnp.bfloat16)
@@ -165,16 +237,17 @@ def verify_gelu_dropout():
 
     ref0 = jax.nn.gelu(x.astype(jnp.float32), approximate=False)
     got0 = jax.jit(lambda x: gelu_dropout(x, 0.0, key, interpret=False))(x)
-    check("rate=0 forward == exact gelu", got0.astype(jnp.float32), ref0,
-          atol=2e-2)
+    check("rate=0 forward == exact gelu", got0.astype(jnp.float32), ref0)
 
     loss = lambda f: lambda x: jnp.sum(f(x).astype(jnp.float32) ** 2)  # noqa: E731
     g0 = jax.jit(jax.grad(loss(
         lambda x: gelu_dropout(x, 0.0, key, interpret=False))))(x)
     gr = jax.jit(jax.grad(loss(
         lambda x: jax.nn.gelu(x, approximate=False))))(x)
+    # growth=2: gelu' amplifies the bf16 input rounding by up to
+    # max|x * gelu''| ~ 1.13, on top of the output rounding.
     check("rate=0 backward", g0.astype(jnp.float32),
-          gr.astype(jnp.float32), atol=1.0, rtol=5e-2)
+          gr.astype(jnp.float32), growth=2.0)
 
     rate = 0.1
     fwd = jax.jit(lambda x: gelu_dropout(x, rate, key, interpret=False))
@@ -187,8 +260,10 @@ def verify_gelu_dropout():
           f"{'dropout keep fraction':48s} got={frac:.4f} want~{1 - rate}")
     # kept entries are gelu(x)/(1-rate)
     ref_scaled = np.asarray(ref0) / (1 - rate)
+    # growth=2: the 1/(1-rate) rescale happens on the bf16-rounded kernel
+    # output vs the f32 reference (one extra rounding of the scaled value).
     check("dropout kept values scaled", np.where(kept, y, 0.0),
-          np.where(kept, ref_scaled, 0.0), atol=3e-2)
+          np.where(kept, ref_scaled, 0.0), growth=2.0)
     # backward masks exactly where forward dropped (mask re-seed parity)
     gdrop = np.asarray(jax.jit(jax.grad(loss(fwd)))(x).astype(jnp.float32))
     dead_rows = ~kept & (np.abs(np.asarray(x, np.float64)) > 1e-2)
@@ -203,7 +278,7 @@ def verify_ffn_fc1():
     """Fused FFN up-projection (matmul + GELU + dropout epilogue) vs XLA."""
     from coral_tpu.ops.ffn_pallas import _xla_reference, ffn_fc1
 
-    print("ffn_pallas (ffn_fc1):")
+    section("ffn_pallas")
     rng = np.random.default_rng(8)
     B, T, D, F = 4, 499, 1024, 4096  # ragged last row-tile on purpose
     x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.bfloat16)
@@ -214,13 +289,16 @@ def verify_ffn_fc1():
     fused = jax.jit(lambda x, w, b: ffn_fc1(x, w, b, interpret=False))
     plain = jax.jit(lambda x, w, b: _xla_reference(x, w, b, 0.0, None))
     ref0 = plain(x, w, b)
-    check("rate=0 forward", fused(x, w, b), ref0, atol=2e-2)
+    # growth=2 throughout this section: every output routes the matmul's
+    # bf16 operand rounding through the GELU epilogue (fwd) or gelu'
+    # (bwd), and the LN-folded variants add the LN quotient paths.
+    check("rate=0 forward", fused(x, w, b), ref0, growth=2.0)
     loss = lambda f: lambda *a: jnp.sum(  # noqa: E731
         f(*a).astype(jnp.float32) ** 2)
     gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(x, w, b)
     gr = jax.jit(jax.grad(loss(plain), argnums=(0, 1, 2)))(x, w, b)
     for name, a, bb in zip(("dx", "dw", "db"), gf, gr):
-        check(f"rate=0 backward {name}", a, bb, atol=1.0, rtol=2e-2)
+        check(f"rate=0 backward {name}", a, bb, growth=2.0)
 
     rate = 0.1
     drop = jax.jit(lambda x, w, b: ffn_fc1(x, w, b, rate, key,
@@ -233,10 +311,8 @@ def verify_ffn_fc1():
     print(f"  {'PASS' if ok_frac else 'FAIL'}  "
           f"{'dropout keep fraction':48s} got={frac:.4f} want~{1 - rate}")
     ref_scaled = np.asarray(ref0.astype(jnp.float32)) / (1 - rate)
-    # atol re-measured on hardware: peaked at 1.04x the original 3e-2 — the
-    # 1/(1-rate) rescale amplifies the bf16 output rounding by 11%.
-    check("dropout kept values scaled", np.where(kept, y, 0.0),
-          np.where(kept, ref_scaled, 0.0), atol=4e-2)
+    check("ffn dropout kept values scaled", np.where(kept, y, 0.0),
+          np.where(kept, ref_scaled, 0.0), growth=2.0)
     # Mask re-seed parity fwd vs bwd: with w = I the op is exactly
     # dropout(gelu(x)) and dx == dh, so dropped cells must have dx == 0.
     De = 512
@@ -263,18 +339,13 @@ def verify_ffn_fc1():
     plain_ln = jax.jit(lambda x, w, b, g, bt: _xla_reference_ln(
         x, w, b, g, bt, 0.0, None, 1e-5))
     check("ln rate=0 forward", fused_ln(x, w, b, gamma, beta),
-          plain_ln(x, w, b, gamma, beta), atol=2e-2)
+          plain_ln(x, w, b, gamma, beta), growth=2.0)
     gf = jax.jit(jax.grad(loss(fused_ln), argnums=(0, 1, 2, 3, 4)))(
         x, w, b, gamma, beta)
     gr = jax.jit(jax.grad(loss(plain_ln), argnums=(0, 1, 2, 3, 4)))(
         x, w, b, gamma, beta)
     for name, a, bb in zip(("dx", "dw", "db", "dgamma", "dbeta"), gf, gr):
-        # dw contracts the kernel-emitted bf16 ln_out against bf16 dh:
-        # re-measured at 1.08x the original rtol=2e-2 (pure operand
-        # rounding; the unfused-LN dw above passes at 0.81 with the same
-        # shapes).
-        tol = 4e-2 if name == "dw" else 2e-2
-        check(f"ln rate=0 backward {name}", a, bb, atol=1.0, rtol=tol)
+        check(f"ln rate=0 backward {name}", a, bb, growth=2.0)
 
     # ln_dense (LN + matmul + bias, no activation — the fused QKV path):
     # fwd + all five grads vs the composed reference.
@@ -291,20 +362,20 @@ def verify_ffn_fc1():
         x, w, b, g, bt, interpret=False))
     plain_lnmm = jax.jit(lnmm_plain)
     check("ln_dense forward", fused_lnmm(x, w, b, gamma, beta),
-          plain_lnmm(x, w, b, gamma, beta), atol=2e-2)
+          plain_lnmm(x, w, b, gamma, beta), growth=2.0)
     gf = jax.jit(jax.grad(loss(fused_lnmm), argnums=(0, 1, 2, 3, 4)))(
         x, w, b, gamma, beta)
     gr = jax.jit(jax.grad(loss(plain_lnmm), argnums=(0, 1, 2, 3, 4)))(
         x, w, b, gamma, beta)
     for name, a, bb in zip(("dx", "dw", "db", "dgamma", "dbeta"), gf, gr):
-        check(f"ln_dense backward {name}", a, bb, atol=1.0, rtol=2e-2)
+        check(f"ln_dense backward {name}", a, bb, growth=2.0)
 
 
 def verify_ctc():
     """Pallas CTC recursion vs the lax.scan implementation, fwd + grads."""
     from coral_tpu.ops.ctc import ctc_loss
 
-    print("ctc_pallas vs xla recursion:")
+    section("ctc")
     rng = np.random.default_rng(4)
     T, B, V, L = 499, 8, 40, 64
     logits = jnp.asarray(rng.standard_normal((T, B, V)), jnp.float32)
@@ -325,15 +396,17 @@ def verify_ctc():
 
     v_p, g_p = run("pallas")
     v_x, g_x = run("xla")
-    check("loss", v_p, v_x, atol=1e-3)
-    check("dlogits", g_p, g_x, atol=1e-4, rtol=1e-3)
+    # growth=T: the T-step log-space forward-backward recursion gives no
+    # cancellation guarantee, so rounding can accumulate linearly.
+    check("loss", v_p, v_x, op_dtype="float32", growth=float(T))
+    check("dlogits", g_p, g_x, op_dtype="float32", growth=float(T))
 
 
 def verify_flash():
     """Whisper flash encoder attention fwd/bwd vs XLA."""
     from coral_tpu.ops.flash_attention import flash_self_attention
 
-    print("flash_attention (whisper encoder):")
+    section("flash_attention")
     rng = np.random.default_rng(5)
     B, T, H, d = 2, 1500, 12, 64
     q, k, v = (
@@ -353,7 +426,9 @@ def verify_flash():
 
     fused = jax.jit(flash_self_attention)
     ref = jax.jit(xla_ref)
-    check("forward", fused(q, k, v), ref(q, k, v), atol=2e-2)
+    # growth=2: the blocked online softmax re-scales each row's running
+    # sum once per KV block (a rounding chain the one-shot reference skips).
+    check("forward", fused(q, k, v), ref(q, k, v), growth=2.0)
 
     loss = lambda f: lambda q, k, v: jnp.sum(  # noqa: E731
         f(q, k, v).astype(jnp.float32) ** 2
@@ -361,7 +436,7 @@ def verify_flash():
     gf = jax.jit(jax.grad(loss(fused), argnums=(0, 1, 2)))(q, k, v)
     gr = jax.jit(jax.grad(loss(ref), argnums=(0, 1, 2)))(q, k, v)
     for name, a, b in zip(("dq", "dk", "dv"), gf, gr):
-        check(f"backward {name}", a, b, atol=1.0, rtol=3e-2)
+        check(f"backward {name}", a, b, growth=2.0)
 
 
 def verify_decode_attention():
@@ -372,7 +447,7 @@ def verify_decode_attention():
         decode_self_attention,
     )
 
-    print("decode_attention (whisper decode):")
+    section("decode_attention")
     rng = np.random.default_rng(6)
     L, B, K, T, H, d = 3, 4, 5, 196, 12, 64
     HD = H * d
@@ -394,7 +469,7 @@ def verify_decode_attention():
         )
     )(q, ck, cv, oh)
     want = decode_self_attention(q, ck, cv, oh, H, layer, interpret=True)
-    check("self fwd (beamed mask, stacked cache)", got, want, atol=3e-2)
+    check("self fwd (beamed mask, stacked cache)", got, want)
 
     S = 1500
     kk = jnp.asarray(rng.standard_normal((L, B, S, HD)), jnp.bfloat16)
@@ -405,13 +480,43 @@ def verify_decode_attention():
         )
     )(q, kk, vv)
     want = decode_cross_attention(q, kk, vv, H, layer, interpret=True)
-    check("cross fwd (shared KV, stacked)", got, want, atol=3e-2)
+    check("cross fwd (shared KV, stacked)", got, want)
+
+
+def gate_margin_regressions(update_baseline: bool) -> list[str]:
+    """Compare this run's margins against the committed baseline.
+
+    A check that stays inside the derived bound but drifts >1.5x + 0.05
+    above its recorded hardware margin still fails: a real numerics
+    regression shows up long before it reaches the generous ceiling.
+    """
+    if update_baseline or not os.path.exists(BASELINE_PATH):
+        with open(BASELINE_PATH, "w") as f:
+            json.dump({k: round(v, 4) for k, v in MARGINS.items()}, f,
+                      indent=1, sort_keys=True)
+        print(f"\nbaseline margins written to {BASELINE_PATH}")
+        return []
+    with open(BASELINE_PATH) as f:
+        baseline = json.load(f)
+    regressions = []
+    for name, margin in MARGINS.items():
+        base = baseline.get(name)
+        if base is None:
+            print(f"  NEW    {name:48s} margin={margin:.3f} (no baseline)")
+            continue
+        limit = 1.5 * base + 0.05
+        if margin > limit:
+            regressions.append(name)
+            print(f"  REGR   {name:48s} margin={margin:.3f} > "
+                  f"limit {limit:.3f} (baseline {base:.3f})")
+    return regressions
 
 
 def main():
     if jax.default_backend() != "tpu":
         print("ERROR: no TPU attached — this tool verifies Mosaic lowering.")
         return 2
+    update_baseline = "--update-baseline" in sys.argv
     print(f"devices: {jax.devices()}\n")
     verify_attention_pallas()
     verify_ln_gelu()
@@ -421,9 +526,12 @@ def main():
     verify_ctc()
     verify_flash()
     verify_decode_attention()
+    regressions = gate_margin_regressions(update_baseline)
     print(f"\n{len(PASS)} passed, {len(FAIL)} failed"
-          + (f": {FAIL}" if FAIL else ""))
-    return 1 if FAIL else 0
+          + (f": {FAIL}" if FAIL else "")
+          + (f"; {len(regressions)} margin regressions: {regressions}"
+             if regressions else ""))
+    return 1 if (FAIL or regressions) else 0
 
 
 if __name__ == "__main__":
