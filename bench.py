@@ -330,7 +330,12 @@ def bench_whisper() -> dict:
 
     out: dict = {}
     mesh = create_mesh()
-    cfg = WhisperConfig.small(dtype=jnp.bfloat16)
+    # Adopted whisper stack (round-4 A/Bs; = WhisperSetup defaults, pinned
+    # by tests/test_bench_defaults.py): fused FFN w/ LN fold + bf16 grad
+    # buffers; train-path LNs stay XLA (pallas measured slower).
+    cfg = WhisperConfig.small(
+        dtype=jnp.bfloat16, fused_ffn=True, fused_ffn_ln=True,
+    )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     rng_np = np.random.default_rng(0)
 
@@ -389,7 +394,7 @@ def bench_whisper() -> dict:
     step = make_seq2seq_train_step(
         cfg, tx, schedule, sot_id=cfg.vocab_size - 10,
         pad_id=cfg.vocab_size - 9, chunk_length=30 * SR,
-        gradient_checkpointing=True,
+        gradient_checkpointing=True, grad_dtype="bfloat16",
     )
     state_sh = jax.tree.map(lambda _: replicated(mesh), state)
     data_sh = batch_sharding(mesh, axis=1)

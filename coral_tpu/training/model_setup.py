@@ -409,10 +409,16 @@ class WhisperSetup:
         self.model_config = dataclasses.replace(
             self.model_config,
             remat_policy=model_cfg.get("remat_policy", arch_default_policy),
+            # Round-4 whisper-small A/Bs (tools/bench_whisper.py, v5e):
+            # fused FFN w/ LN fold 1320 -> 1362 audio-s/s, + bf16 grad
+            # buffers 1374 (adopted as defaults below and in make_train_step);
+            # pallas train-path LNs measured 1344 (REJECTED — xla stays).
             ln_impl=model_cfg.get("ln_impl", "xla"),
-            fused_ffn=bool(model_cfg.get("fused_ffn", False))
+            fused_ffn=bool(model_cfg.get("fused_ffn", True))
             or bool(model_cfg.get("fused_ffn_ln", False)),
-            fused_ffn_ln=bool(model_cfg.get("fused_ffn_ln", False)),
+            fused_ffn_ln=bool(
+                model_cfg.get("fused_ffn_ln", model_cfg.get("fused_ffn", True))
+            ),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))
@@ -471,7 +477,9 @@ class WhisperSetup:
             gradient_checkpointing=self.gradient_checkpointing,
             augment=augment,
             noise_bank=noise_bank,
-            grad_dtype=self.config.get("grad_dtype", None),
+            # bf16 gradient buffers: whisper-small 1362 -> 1374 audio-s/s
+            # (round-4 A/B); `grad_dtype: float32` opts out.
+            grad_dtype=self.config.get("grad_dtype", "bfloat16"),
         )
 
     def make_predictor(self, mesh, param_sharding) -> Callable:

@@ -94,3 +94,38 @@ def test_fused_ffn_opt_outs(config_path, tmp_path) -> None:
 
     no_fold = make("+model.pos_conv_fold=false")
     assert no_fold.pos_conv_fold is False
+
+
+def test_whisper_defaults_match_bench(config_path, tmp_path) -> None:
+    """Whisper defaults = the measured round-4 winning stack (fused FFN w/
+    LN fold on, xla train-path LNs, bf16 grad buffers), matching bench.py's
+    whisper construction."""
+    from coral_tpu.training.model_setup import WhisperSetup
+
+    config = compose(
+        "asr_finetuning",
+        overrides=[
+            "model=whisper-small",
+            "datasets=[synthetic]",
+            f"model_dir={tmp_path}",
+        ],
+        config_path=config_path,
+    )
+    setup = WhisperSetup(config)
+    assert setup.model_config.fused_ffn is True
+    assert setup.model_config.fused_ffn_ln is True
+    assert setup.model_config.ln_impl == "xla"
+    assert setup.config.get("grad_dtype", "bfloat16") == "bfloat16"
+
+    off = compose(
+        "asr_finetuning",
+        overrides=[
+            "model=whisper-small",
+            "datasets=[synthetic]",
+            f"model_dir={tmp_path}",
+            "+model.fused_ffn=false",
+        ],
+        config_path=config_path,
+    )
+    off_cfg = WhisperSetup(off).model_config
+    assert off_cfg.fused_ffn is False and off_cfg.fused_ffn_ln is False
