@@ -101,6 +101,13 @@ class Wav2Vec2Config:
     # Additionally fold the pre-FFN LayerNorm into the fused kernel (pre-LN
     # architecture only; the LN has a single consumer). Requires fused_ffn.
     fused_ffn_ln: bool = False
+    # Run the WHOLE FFN (LN + fc1 + GELU + dropout + fc2) as one
+    # differentiable block (ops/ffn_pallas.py ffn_ln_block): the block's VJP
+    # residuals are primal inputs only and its backward kernel emits the
+    # post-activation g (the dW2 operand) while recomputing h on-MXU, so the
+    # remat replay DCEs the FFN forward entirely — 7 same-size matmuls per
+    # layer instead of 8. Requires fused_ffn; composes with fused_ffn_ln.
+    fused_ffn_block: bool = False
     # Fold the pre-attention LayerNorm into a packed QKV projection kernel
     # (ops/ffn_pallas.py ln_dense): one (D, 3D) matmul with the LN computed
     # in-register, removing the separate LN kernels and the normalised
@@ -545,6 +552,33 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True, ln=None):
         cfg = self.config
+        if cfg.fused_ffn and cfg.fused_ffn_block:
+            # One differentiable block for the whole FFN: the backward kernel
+            # recomputes h AND emits g on-MXU, so no value from this forward
+            # is ever a VJP residual — the remat replay DCEs the FFN
+            # (ops/ffn_pallas.py ffn_ln_block).
+            from ..ops.ffn_pallas import ffn_block, ffn_ln_block
+
+            kernel1, bias1 = _DenseParams(
+                x.shape[-1], cfg.intermediate_size, name="intermediate_dense"
+            )()
+            kernel2, bias2 = _DenseParams(
+                cfg.intermediate_size, cfg.hidden_size, name="output_dense"
+            )()
+            rate = cfg.activation_dropout if not deterministic else 0.0
+            rng = self.make_rng("dropout") if rate > 0.0 else None
+            if ln is not None:
+                gamma, beta = ln
+                x = ffn_ln_block(
+                    x, kernel1, bias1, gamma, beta, kernel2, bias2, rate,
+                    rng, eps=cfg.layer_norm_eps,
+                )
+            else:
+                x = ffn_block(x, kernel1, bias1, kernel2, bias2, rate, rng)
+            x = nn.Dropout(cfg.hidden_dropout)(
+                x, deterministic=deterministic
+            )
+            return x
         if cfg.fused_ffn:
             # Matmul + bias + GELU (+ dropout) in one kernel: the (B, T, 4F)
             # pre-activation exists only as VMEM blocks (ops/ffn_pallas.py).

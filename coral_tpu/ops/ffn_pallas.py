@@ -236,6 +236,64 @@ def _bwd_kernel_ln(x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref,
                      db_acc, dvec_acc, n_rows=n_rows)
 
 
+def _bwd_kernel_ln_g(x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref,
+                     dh_ref, gout_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, *, eps: float, n_rows: int):
+    """LN backward that additionally emits the post-activation ``g`` (the
+    fc2/dW2 operand) — the block VJP's replacement for a forward replay."""
+    acc, ln_b, xhat, rstd = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, h = _epilogue(acc, b_ref)
+    gout_ref[0] = g.astype(gout_ref.dtype)
+    dy = dy_ref[0].astype(jnp.float32)
+    _bwd_ln_epilogue(dy * _dgelu(h), ln_b, xhat, rstd, w_ref, g_ref,
+                     dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, n_rows=n_rows)
+
+
+def _bwd_kernel_ln_g_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref,
+                          dy_ref, dh_ref, gout_ref, dx_ref, ln_ref, db_ref,
+                          dvec_ref, db_acc, dvec_acc, *, threshold: int,
+                          scale: float, eps: float, n_rows: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    bits = pltpu.prng_random_bits(dh_ref.shape[1:])
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    acc, ln_b, xhat, rstd = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, h = _epilogue(acc, b_ref)
+    gout_ref[0] = jnp.where(keep, g * scale, 0.0).astype(gout_ref.dtype)
+    dy = dy_ref[0].astype(jnp.float32)
+    dh = jnp.where(keep, dy * scale * _dgelu(h), 0.0)
+    _bwd_ln_epilogue(dh, ln_b, xhat, rstd, w_ref, g_ref,
+                     dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, n_rows=n_rows)
+
+
+def _bwd_kernel_g(x_ref, w_ref, b_ref, dy_ref, dh_ref, gout_ref, dx_ref,
+                  db_ref, db_acc, *, n_rows: int):
+    """Plain (no-LN) backward that additionally emits ``g``."""
+    g, h = _epilogue(_matmul(x_ref, w_ref), b_ref)
+    gout_ref[0] = g.astype(gout_ref.dtype)
+    dy = dy_ref[0].astype(jnp.float32)
+    _bwd_epilogue(dy * _dgelu(h), w_ref, dh_ref, dx_ref, db_ref, db_acc,
+                  n_rows=n_rows)
+
+
+def _bwd_kernel_g_drop(seed_ref, x_ref, w_ref, b_ref, dy_ref, dh_ref,
+                       gout_ref, dx_ref, db_ref, db_acc, *, threshold: int,
+                       scale: float, n_rows: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    bits = pltpu.prng_random_bits(dh_ref.shape[1:])
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    g, h = _epilogue(_matmul(x_ref, w_ref), b_ref)
+    gout_ref[0] = jnp.where(keep, g * scale, 0.0).astype(gout_ref.dtype)
+    dy = dy_ref[0].astype(jnp.float32)
+    dh = jnp.where(keep, dy * scale * _dgelu(h), 0.0)
+    _bwd_epilogue(dh, w_ref, dh_ref, dx_ref, db_ref, db_acc, n_rows=n_rows)
+
+
 def _bwd_kernel_ln_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref,
                         dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
                         db_acc, dvec_acc, *, threshold: int, scale: float,
@@ -386,6 +444,101 @@ def _bwd_pallas(x, w, b, dy, seeds, rate, interpret):
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
     return dh, dx, jnp.squeeze(db, axis=1)
+
+
+def _bwd_pallas_g(x, w, b, dy, seeds, rate, interpret):
+    """Like ``_bwd_pallas`` but also emits ``g`` (the dW2 operand) so the
+    block VJP never replays the forward: (dh, g, dx, db_rows)."""
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    in_specs = [x_spec, w_spec, b_spec, out_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _bwd_kernel_g_drop, threshold=threshold, scale=scale, n_rows=T
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b, dy)
+    else:
+        kernel = functools.partial(_bwd_kernel_g, n_rows=T)
+        args = (x, w, b, dy)
+    dh, g, dx, db = pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=[
+            out_spec,
+            out_spec,
+            x_spec,
+            # (1, 1, F) over (B, 1, F): see the Mosaic block-rule note in
+            # _bwd_pallas.
+            pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((1, F), jnp.float32)],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+    return dh, g, dx, jnp.squeeze(db, axis=1)
+
+
+def _bwd_pallas_ln_g(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
+    """Like ``_bwd_pallas_ln`` but also emits ``g``:
+    (dh, g, dx, ln_out, db_rows, dvec_rows)."""
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    in_specs = [x_spec, w_spec, b_spec, d_spec, d_spec, out_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _bwd_kernel_ln_g_drop, threshold=threshold, scale=scale, eps=eps,
+            n_rows=T,
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b, gamma, beta, dy)
+    else:
+        kernel = functools.partial(_bwd_kernel_ln_g, eps=eps, n_rows=T)
+        args = (x, w, b, gamma, beta, dy)
+    dh, g, dx, ln_out, db, dvec = pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=[
+            out_spec,
+            out_spec,
+            x_spec,
+            x_spec,
+            # (1, 1, F) over (B, 1, F): see the Mosaic block-rule note in
+            # _bwd_pallas.
+            pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 2, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),   # dh
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),   # g
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),   # dx
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),   # ln_out
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),  # db rows
+            jax.ShapeDtypeStruct((B, 2, D), jnp.float32),  # dgamma/dbeta rows
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, F), jnp.float32),
+            pltpu.VMEM((2, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+    return dh, g, dx, ln_out, jnp.squeeze(db, axis=1), dvec
 
 
 def _fwd_pallas_ln(x, w, b, gamma, beta, seeds, rate, eps, interpret):
@@ -732,6 +885,126 @@ def _bwd_ln_cp(rate, eps, interpret, with_seeds):
     return f
 
 
+def _bwd_g_shardings(mesh, x_info, w_info):
+    batch = _spec_dim(x_info.sharding, 0)
+    col = _spec_dim(w_info.sharding, 1)
+    return (
+        NamedSharding(mesh, P(batch, None, col)),   # dh
+        NamedSharding(mesh, P(batch, None, col)),   # g
+        NamedSharding(mesh, P(batch, None, None)),  # dx
+        NamedSharding(mesh, P(batch, col)),         # db_rows
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_g_cp(rate, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, dy: _bwd_pallas_g(  # noqa: E731
+            x, w, b, dy, seeds, rate, interpret
+        )
+        rule = "b, b t d, d f, f, b t f -> b t f, b t f, b t d, b f"
+    else:
+        fn = lambda x, w, b, dy: _bwd_pallas_g(  # noqa: E731
+            x, w, b, dy, None, rate, interpret
+        )
+        rule = "b t d, d f, f, b t f -> b t f, b t f, b t d, b f"
+    f = custom_partitioning(fn)
+
+    def args_xw(arg_infos):
+        return (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bwd_g_shardings(mesh, *args_xw(arg_infos))
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = args_xw(arg_infos)
+        out_sh = _bwd_g_shardings(mesh, xi, wi)
+        arg_sh = _shardings(mesh, xi, wi, with_seeds)[1]
+        col = _spec_dim(wi.sharding, 1)
+
+        def lower(*a):
+            dh, g, dx, db_rows = fn(*a)
+            if col is not None:
+                # Column-sharded W1 (TP): dx = dh @ W^T contracts only the
+                # local F slice.
+                dx = jax.lax.psum(dx, col)
+            return dh, g, dx, db_rows
+
+        return mesh, lower, out_sh, arg_sh + (out_sh[0],)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
+def _bwd_ln_g_shardings(mesh, x_info, w_info):
+    batch = _spec_dim(x_info.sharding, 0)
+    col = _spec_dim(w_info.sharding, 1)
+    return (
+        NamedSharding(mesh, P(batch, None, col)),    # dh
+        NamedSharding(mesh, P(batch, None, col)),    # g
+        NamedSharding(mesh, P(batch, None, None)),   # dx
+        NamedSharding(mesh, P(batch, None, None)),   # ln_out
+        NamedSharding(mesh, P(batch, col)),          # db rows
+        NamedSharding(mesh, P(batch, None, None)),   # dgamma/dbeta rows
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_ln_g_cp(rate, eps, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, g, bt, dy: _bwd_pallas_ln_g(  # noqa: E731
+            x, w, b, g, bt, dy, seeds, rate, eps, interpret
+        )
+        rule = ("b, b t d, d f, f, d, d, b t f -> "
+                "b t f, b t f, b t d, b t d, b f, b v d")
+    else:
+        fn = lambda x, w, b, g, bt, dy: _bwd_pallas_ln_g(  # noqa: E731
+            x, w, b, g, bt, dy, None, rate, eps, interpret
+        )
+        rule = ("b t d, d f, f, d, d, b t f -> "
+                "b t f, b t f, b t d, b t d, b f, b v d")
+    f = custom_partitioning(fn)
+
+    def args_xw(arg_infos):
+        return (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bwd_ln_g_shardings(mesh, *args_xw(arg_infos))
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = args_xw(arg_infos)
+        out_sh = _bwd_ln_g_shardings(mesh, xi, wi)
+        arg_sh = _shardings(mesh, xi, wi, with_seeds)[1]
+        rep_d = NamedSharding(mesh, P(None))
+        col = _spec_dim(wi.sharding, 1)
+
+        def lower(*a):
+            dh, g, dx, ln_out, db_rows, dvec_rows = fn(*a)
+            if col is not None:
+                # Column-sharded W1 (TP): dl = dh @ W^T contracts only the
+                # local F slice, so dx and dgamma/dbeta are partial sums.
+                dx = jax.lax.psum(dx, col)
+                dvec_rows = jax.lax.psum(dvec_rows, col)
+            return dh, g, dx, ln_out, db_rows, dvec_rows
+
+        return mesh, lower, out_sh, arg_sh + (rep_d, rep_d, out_sh[0])
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
 @functools.lru_cache(maxsize=None)
 def _fwd_lnmm_cp(eps, interpret):
     fn = lambda x, w, b, g, bt: _fwd_pallas_lnmm(  # noqa: E731
@@ -910,6 +1183,115 @@ def _ffn_fc1_bwd(rate, interpret, res, dy):
 _ffn_fc1.defvjp(_ffn_fc1_fwd, _ffn_fc1_bwd)
 
 
+def _fc2(g, w2, b2):
+    y = jax.lax.dot_general(
+        g, w2.astype(g.dtype), (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2.astype(jnp.float32)
+    return y.astype(g.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _ffn_ln_block(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                  interpret):
+    if rate > 0.0:
+        g = _fwd_ln_cp(rate, eps, interpret, True)(
+            seeds, x, w1, b1, gamma, beta
+        )
+    else:
+        g = _fwd_ln_cp(rate, eps, interpret, False)(x, w1, b1, gamma, beta)
+    return _fc2(g, w2, b2)
+
+
+def _ffn_ln_block_fwd(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                      interpret):
+    y = _ffn_ln_block(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                      interpret)
+    # Residuals are primal inputs only: under any remat policy the backward
+    # needs no value from the block's forward, so the replay DCEs the whole
+    # FFN (the bwd kernel recomputes h AND g on-MXU from x in one pass).
+    return y, (x, w1, b1, gamma, beta, w2, seeds)
+
+
+def _ffn_ln_block_bwd(rate, eps, interpret, res, dy):
+    x, w1, b1, gamma, beta, w2, seeds = res
+    # dg = dy @ W2^T — plain XLA matmul (GSPMD shards it; under TP the
+    # row-sharded W2 makes dg column-sharded, matching the kernel's layout).
+    dg = jax.lax.dot_general(
+        dy, w2.astype(dy.dtype), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dy.dtype)
+    if rate > 0.0:
+        dh, g, dx, ln_out, db1_rows, dvec_rows = _bwd_ln_g_cp(
+            rate, eps, interpret, True
+        )(seeds, x, w1, b1, gamma, beta, dg)
+    else:
+        dh, g, dx, ln_out, db1_rows, dvec_rows = _bwd_ln_g_cp(
+            rate, eps, interpret, False
+        )(x, w1, b1, gamma, beta, dg)
+    # Batch reductions stay plain jnp so GSPMD inserts cross-shard psums.
+    dw1 = jax.lax.dot_general(
+        ln_out, dh, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w1.dtype)
+    db1 = jnp.sum(db1_rows, axis=0)
+    dvec = jnp.sum(dvec_rows, axis=0)
+    dw2 = jax.lax.dot_general(
+        g, dy, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w2.dtype)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    return (dx, dw1, db1, dvec[0].astype(gamma.dtype),
+            dvec[1].astype(beta.dtype), dw2, db2, None)
+
+
+_ffn_ln_block.defvjp(_ffn_ln_block_fwd, _ffn_ln_block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _ffn_block(x, w1, b1, w2, b2, seeds, rate, interpret):
+    if rate > 0.0:
+        g = _fwd_cp(rate, interpret, True)(seeds, x, w1, b1)
+    else:
+        g = _fwd_cp(rate, interpret, False)(x, w1, b1)
+    return _fc2(g, w2, b2)
+
+
+def _ffn_block_fwd(x, w1, b1, w2, b2, seeds, rate, interpret):
+    y = _ffn_block(x, w1, b1, w2, b2, seeds, rate, interpret)
+    return y, (x, w1, b1, w2, seeds)
+
+
+def _ffn_block_bwd(rate, interpret, res, dy):
+    x, w1, b1, w2, seeds = res
+    dg = jax.lax.dot_general(
+        dy, w2.astype(dy.dtype), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dy.dtype)
+    if rate > 0.0:
+        dh, g, dx, db1_rows = _bwd_g_cp(rate, interpret, True)(
+            seeds, x, w1, b1, dg
+        )
+    else:
+        dh, g, dx, db1_rows = _bwd_g_cp(rate, interpret, False)(
+            x, w1, b1, dg
+        )
+    dw1 = jax.lax.dot_general(
+        x, dh, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w1.dtype)
+    db1 = jnp.sum(db1_rows, axis=0)
+    dw2 = jax.lax.dot_general(
+        g, dy, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w2.dtype)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    return dx, dw1, db1, dw2, db2, None
+
+
+_ffn_block.defvjp(_ffn_block_fwd, _ffn_block_bwd)
+
+
 def _xla_reference(x, w, b, rate, rng):
     h = jax.lax.dot_general(
         x, w.astype(x.dtype), (((2,), (0,)), ((), ())),
@@ -1067,4 +1449,91 @@ def ffn_ln_fc1(
     return _ffn_ln_fc1(
         x, w.astype(x.dtype), b, gamma, beta, seeds, float(rate), float(eps),
         interpret,
+    )
+
+
+def _block_seeds(x, rate, rng):
+    if rate > 0.0:
+        return jax.random.bits(rng, (x.shape[0],), jnp.uint32).astype(
+            jnp.int32
+        )
+    return jnp.zeros((x.shape[0],), jnp.int32)
+
+
+def ffn_ln_block(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    rate: float = 0.0,
+    rng: jax.Array | None = None,
+    eps: float = 1e-5,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """The whole pre-LN FFN as ONE differentiable block:
+    ``dropout(gelu(layer_norm(x) @ w1 + b1), rate) @ w2 + b2``.
+
+    vs. ``ffn_ln_fc1`` + a separate fc2 this removes the FFN's forward from
+    the remat replay entirely: the block's VJP residuals are primal inputs
+    only, and its backward kernel recomputes h on-MXU AND emits the
+    post-activation ``g`` (the dW2 operand) in the same pass — so under
+    ``nothing_saveable`` the 4x-wide activation is computed twice total
+    (fwd, bwd) instead of three times (fwd, replay, bwd), and never feeds a
+    separate replay kernel. 7 same-size matmuls per layer instead of 8.
+    Reference surface: HF ``Wav2Vec2FeedForward``
+    (``src/coral/wav2vec2.py:104-126`` configures the model).
+
+    Args:
+        x: (B, T, D) pre-LN residual stream (the remat-named ``ffn_in``).
+        w1: (D, F) up-projection weight (column-sharded under TP).
+        b1: (F,) bias.
+        gamma, beta: (D,) LayerNorm affine parameters.
+        w2: (F, D) down-projection weight (row-sharded under TP).
+        b2: (D,) bias.
+        rate: activation-dropout probability in [0, 1).
+        rng: PRNG key, required when ``rate > 0``.
+        eps: LayerNorm epsilon.
+        interpret: run the Pallas interpreter off-TPU (rate=0 only).
+
+    Returns:
+        (B, T, D) FFN output in ``x.dtype`` (residual add stays outside).
+    """
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu
+    D, F = w1.shape
+    if (interpret and rate > 0.0) or D % 128 != 0 or F % 128 != 0:
+        g = _xla_reference_ln(x, w1, b1, gamma, beta, rate, rng, eps)
+        return _fc2(g, w2, b2)
+    return _ffn_ln_block(
+        x, w1.astype(x.dtype), b1, gamma, beta, w2.astype(x.dtype), b2,
+        _block_seeds(x, rate, rng), float(rate), float(eps), interpret,
+    )
+
+
+def ffn_block(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    b1: jnp.ndarray,
+    w2: jnp.ndarray,
+    b2: jnp.ndarray,
+    rate: float = 0.0,
+    rng: jax.Array | None = None,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """``dropout(gelu(x @ w1 + b1), rate) @ w2 + b2`` as one differentiable
+    block — the no-LN variant of :func:`ffn_ln_block` (post-LN configs, or
+    callers that normalise separately)."""
+    on_tpu = jax.default_backend() == "tpu"
+    if interpret is None:
+        interpret = not on_tpu
+    D, F = w1.shape
+    if (interpret and rate > 0.0) or D % 128 != 0 or F % 128 != 0:
+        return _fc2(_xla_reference(x, w1, b1, rate, rng), w2, b2)
+    return _ffn_block(
+        x, w1.astype(x.dtype), b1, w2.astype(x.dtype), b2,
+        _block_seeds(x, rate, rng), float(rate), interpret,
     )

@@ -153,6 +153,10 @@ class Wav2Vec2Setup:
                 model_cfg.get("fused_ffn_ln", model_cfg.get("fused_ffn", True))
             ),
             fused_qkv_ln=bool(model_cfg.get("fused_qkv_ln", False)),
+            # Whole-FFN block VJP (fc1 kernel + fc2 in one custom_vjp; the
+            # remat replay DCEs the FFN forward). Default off until the
+            # hardware A/B adopts it.
+            fused_ffn_block=bool(model_cfg.get("fused_ffn_block", False)),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
         )
         if not self.model_config.do_stable_layer_norm and (

@@ -461,3 +461,166 @@ def test_encoder_layer_fused_qkv_ln_parity():
             np.asarray(g0), np.asarray(g1), atol=5e-4, rtol=1e-4,
             err_msg=jax.tree_util.keystr(p0),
         )
+
+
+# ---------------------------------------------------------------------------
+# Whole-FFN block (ffn_block / ffn_ln_block): fc1 kernel + fc2 in one
+# custom_vjp — the backward emits g itself, so no forward replay is needed.
+# ---------------------------------------------------------------------------
+
+
+def _block_data(B=2, T=70, D=128, F=256, seed=11):
+    rng = np.random.default_rng(seed)
+    x, w1, b1, gamma, beta = _ln_data(B, T, D, F, seed)
+    w2 = jnp.asarray(rng.standard_normal((F, D)) * 0.05, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal((D,)) * 0.1, jnp.float32)
+    return x, w1, b1, gamma, beta, w2, b2
+
+
+def _block_ref(x, w1, b1, gamma, beta, w2, b2, eps=1e-5):
+    from coral_tpu.ops.ffn_pallas import _fc2
+
+    return _fc2(_xla_reference_ln(x, w1, b1, gamma, beta, 0.0, None, eps),
+                w2, b2)
+
+
+def test_block_interpret_forward_matches_xla():
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(T=301)  # ragged last tile
+    got = ffn_ln_block(x, w1, b1, gamma, beta, w2, b2, interpret=True)
+    ref = _block_ref(x, w1, b1, gamma, beta, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_block_interpret_grads_match_xla():
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(T=130)
+
+    def loss(fn):
+        def inner(*a):
+            y = fn(*a)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got = jax.grad(
+        loss(lambda *a: ffn_ln_block(*a, interpret=True)),
+        argnums=tuple(range(7)),
+    )(x, w1, b1, gamma, beta, w2, b2)
+    ref = jax.grad(loss(_block_ref), argnums=tuple(range(7)))(
+        x, w1, b1, gamma, beta, w2, b2
+    )
+    for g, r, name in zip(got, ref, "x w1 b1 gamma beta w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_block_noln_interpret_grads_match_xla():
+    from coral_tpu.ops.ffn_pallas import _fc2, ffn_block
+
+    x, w1, b1, _, _, w2, b2 = _block_data(T=130, seed=12)
+
+    def loss(fn):
+        def inner(*a):
+            y = fn(*a)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got = jax.grad(
+        loss(lambda *a: ffn_block(*a, interpret=True)),
+        argnums=tuple(range(5)),
+    )(x, w1, b1, w2, b2)
+    ref = jax.grad(
+        loss(lambda x, w1, b1, w2, b2: _fc2(
+            _xla_reference(x, w1, b1, 0.0, None), w2, b2)),
+        argnums=tuple(range(5)),
+    )(x, w1, b1, w2, b2)
+    for g, r, name in zip(got, ref, "x w1 b1 w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_encoder_layer_fused_ffn_block_parity():
+    """fused_ffn_block keeps the nn.Dense/LayerNorm tree paths and matches
+    the fused_ffn_ln encoder layer, forward and grads (training mode)."""
+    from coral_tpu.models.wav2vec2 import EncoderLayer, Wav2Vec2Config
+
+    base = dict(
+        hidden_size=128, intermediate_size=256, num_attention_heads=2,
+        attention_impl="xla", encoder_ln_impl="xla", hidden_dropout=0.0,
+        activation_dropout=0.1, fused_ffn=True, fused_ffn_ln=True,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(13).standard_normal((2, 24, 128)), jnp.float32
+    )
+    mask = jnp.ones((2, 24), bool)
+    outs, params = [], []
+    for block in (False, True):
+        cfg = Wav2Vec2Config(fused_ffn_block=block, **base)
+        mod = EncoderLayer(cfg)
+        p = mod.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, mask, False,
+        )
+        params.append(p)
+
+        def loss(p, mod=mod):
+            y, _ = mod.apply(p, x, mask, False,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(y * jnp.sin(jnp.arange(y.shape[-1]))), y
+
+        (val, y), grads = jax.value_and_grad(loss, has_aux=True)(p)
+        outs.append((y, grads))
+    assert jax.tree_util.tree_structure(params[0]) == (
+        jax.tree_util.tree_structure(params[1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][0]), np.asarray(outs[1][0]), atol=2e-5
+    )
+    flat0 = jax.tree_util.tree_leaves_with_path(outs[0][1])
+    flat1 = jax.tree_util.tree_leaves_with_path(outs[1][1])
+    for (p0, g0), (p1, g1) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(g1), atol=5e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(p0),
+        )
+
+
+def test_block_tensor_parallel_grads_match_single_device():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(B=4, T=70)
+
+    def loss(x, w1, b1, gamma, beta, w2, b2):
+        return jnp.sum(jnp.abs(ffn_ln_block(
+            x, w1, b1, gamma, beta, w2, b2, interpret=True)))
+
+    ref = jax.grad(loss, argnums=tuple(range(7)))(
+        x, w1, b1, gamma, beta, w2, b2
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    w1s = jax.device_put(w1, NamedSharding(mesh, P(None, "model")))
+    b1s = jax.device_put(b1, NamedSharding(mesh, P("model")))
+    w2s = jax.device_put(w2, NamedSharding(mesh, P("model", None)))
+    b2s = jax.device_put(b2, NamedSharding(mesh, P()))
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    with mesh:
+        got = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(
+            xs, w1s, b1s, gamma, beta, w2s, b2s
+        )
+    for g, r, name in zip(got, ref, "x w1 b1 gamma beta w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )

@@ -61,6 +61,10 @@ def main() -> None:
     p.add_argument("--fused-ffn-ln", action="store_true",
                    help="additionally fold the pre-FFN LayerNorm into the "
                         "fused kernel (implies --fused-ffn)")
+    p.add_argument("--ffn-block", action="store_true",
+                   help="whole-FFN block VJP (fc1 kernel + fc2 in one "
+                        "custom_vjp; the remat replay DCEs the FFN forward; "
+                        "implies --fused-ffn --fused-ffn-ln)")
     p.add_argument("--fused-qkv-ln", action="store_true",
                    help="fold the pre-attention LN into a packed QKV "
                         "projection kernel (ops/ffn_pallas.py ln_dense)")
@@ -98,8 +102,9 @@ def main() -> None:
         vocab_size=args.vocab, dtype=jnp.bfloat16,
         attention_impl=args.attention, fused_fe_conv=not args.no_fused_fe,
         encoder_ln_impl=args.ln, attention_save_stats=args.attn_stats,
-        fused_ffn=args.fused_ffn or args.fused_ffn_ln,
-        fused_ffn_ln=args.fused_ffn_ln,
+        fused_ffn=args.fused_ffn or args.fused_ffn_ln or args.ffn_block,
+        fused_ffn_ln=args.fused_ffn_ln or args.ffn_block,
+        fused_ffn_block=args.ffn_block,
         fused_qkv_ln=args.fused_qkv_ln,
         pos_conv_fold=args.pos_fold,
         attention_o_residual=not args.no_attn_o,
@@ -183,8 +188,9 @@ def main() -> None:
         "fe_remat": args.fe_remat,
         "unroll": args.unroll,
         "fused_fe": not args.no_fused_fe,
-        "fused_ffn": args.fused_ffn or args.fused_ffn_ln,
-        "fused_ffn_ln": args.fused_ffn_ln,
+        "fused_ffn": args.fused_ffn or args.fused_ffn_ln or args.ffn_block,
+        "fused_ffn_ln": args.fused_ffn_ln or args.ffn_block,
+        "ffn_block": args.ffn_block,
         "fused_qkv_ln": args.fused_qkv_ln,
         "pos_fold": args.pos_fold,
         "attn_o": not args.no_attn_o,

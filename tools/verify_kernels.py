@@ -370,6 +370,49 @@ def verify_ffn_fc1():
     for name, a, bb in zip(("dx", "dw", "db", "dgamma", "dbeta"), gf, gr):
         check(f"ln_dense backward {name}", a, bb, growth=2.0)
 
+    # Whole-FFN block (ffn_ln_block): fc1 kernel + fc2 in one custom_vjp —
+    # the backward emits g itself, so the fwd never replays. fwd + all 7
+    # grads vs the composed reference, plus the dropout laws on the block.
+    from coral_tpu.ops.ffn_pallas import _fc2, ffn_ln_block
+
+    w2 = jnp.asarray(rng.standard_normal((F, D)) * F ** -0.5, jnp.float32)
+    b2 = jnp.asarray(rng.standard_normal(D) * 0.1, jnp.float32)
+
+    def block_ref(x, w1, b1, g, bt, w2, b2):
+        return _fc2(_xla_reference_ln(x, w1, b1, g, bt, 0.0, None, 1e-5),
+                    w2, b2)
+
+    fused_blk = jax.jit(lambda *a: ffn_ln_block(*a, interpret=False))
+    plain_blk = jax.jit(block_ref)
+    # growth=3: two chained matmuls route the bf16 rounding of the first
+    # through the GELU epilogue into the second's operands.
+    check("block rate=0 forward", fused_blk(x, w, b, gamma, beta, w2, b2),
+          plain_blk(x, w, b, gamma, beta, w2, b2), growth=3.0)
+    gf = jax.jit(jax.grad(loss(fused_blk), argnums=tuple(range(7))))(
+        x, w, b, gamma, beta, w2, b2)
+    gr = jax.jit(jax.grad(loss(plain_blk), argnums=tuple(range(7))))(
+        x, w, b, gamma, beta, w2, b2)
+    for name, a, bb in zip(("dx", "dw1", "db1", "dgamma", "dbeta", "dw2",
+                            "db2"), gf, gr):
+        check(f"block rate=0 backward {name}", a, bb, growth=3.0)
+
+    # Dropout mask re-seed parity between the block's FORWARD stream and the
+    # g the BACKWARD emits for dW2: with loss = sum(y), dy == 1, so
+    # dW2[f, :] = sum_{b,t} g_bwd[b, t, f]. The forward's g is exactly the
+    # ffn_ln_fc1 output under the same key (same seed derivation) — the two
+    # column sums must agree to accumulation noise.
+    rate_blk = 0.1
+    key_blk = jax.random.PRNGKey(11)
+    g_fwd = jax.jit(lambda x: ffn_ln_fc1(
+        x, w, b, gamma, beta, rate_blk, key_blk, interpret=False))(x)
+    dw2_blk = jax.jit(jax.grad(
+        lambda w2_: jnp.sum(ffn_ln_block(
+            x, w, b, gamma, beta, w2_, b2, rate_blk, key_blk,
+            interpret=False).astype(jnp.float32))))(w2)
+    want_cols = jnp.sum(g_fwd.astype(jnp.float32), axis=(0, 1))
+    check("block dropout mask parity (dW2 cols == fwd g cols)",
+          dw2_blk[:, 0], want_cols, growth=3.0)
+
 
 def verify_ctc():
     """Pallas CTC recursion vs the lax.scan implementation, fwd + grads."""
