@@ -83,9 +83,12 @@ class Wav2Vec2Config:
     # tensor as the "attn_ctx" checkpoint, so policies saving attn_ctx cover
     # it and nothing_saveable's replay produces it anyway) and use the
     # flash-style delta = rowsum(do * o) backward — one (T, d) pass instead
-    # of the (T, T) sum(p * dp) multiply+reduction. Off = round-3 recompute
-    # backward (kept for A/B).
-    attention_o_residual: bool = True
+    # of the (T, T) sum(p * dp) multiply+reduction. MEASURED SLOWER on the
+    # round-4 A/B (864.1 vs 871.3 audio-s/s at B=48: the backward's extra
+    # 49 MB/layer o read and the 9th double-buffered slab outweigh the saved
+    # (T, T) pass), so the default stays the recompute backward; the variant
+    # remains one flag away.
+    attention_o_residual: bool = False
     # Feature encoder: fuse each stride-2 conv block with its LayerNorm+GELU
     # into one Pallas pass (ops/conv_ln_gelu_pallas.py). False = XLA conv +
     # the fused LN+GELU kernel.

@@ -68,9 +68,10 @@ def main() -> None:
     p.add_argument("--fused-qkv-ln", action="store_true",
                    help="fold the pre-attention LN into a packed QKV "
                         "projection kernel (ops/ffn_pallas.py ln_dense)")
-    p.add_argument("--no-attn-o", action="store_true",
-                   help="disable the o-residual (flash-delta) attention "
-                        "backward (round-4 A/B)")
+    p.add_argument("--attn-o", action="store_true",
+                   help="enable the o-residual (flash-delta) attention "
+                        "backward (measured slower on the round-4 A/B; "
+                        "default off like the model config)")
     p.add_argument("--pos-fold", action="store_true",
                    help="positional conv via factor-2 space-to-depth fold "
                         "(full MXU tiles instead of 64-channel groups)")
@@ -107,7 +108,7 @@ def main() -> None:
         fused_ffn_block=args.ffn_block,
         fused_qkv_ln=args.fused_qkv_ln,
         pos_conv_fold=args.pos_fold,
-        attention_o_residual=not args.no_attn_o,
+        attention_o_residual=args.attn_o,
     )
     model = Wav2Vec2ForCTC(
         config,
@@ -193,7 +194,7 @@ def main() -> None:
         "ffn_block": args.ffn_block,
         "fused_qkv_ln": args.fused_qkv_ln,
         "pos_fold": args.pos_fold,
-        "attn_o": not args.no_attn_o,
+        "attn_o": args.attn_o,
         "ln": args.ln,
         "freeze_fe": args.freeze_fe,
         "step_ms": round(elapsed / args.steps * 1000, 1),
