@@ -85,6 +85,9 @@ class WhisperConfig:
     fused_ffn: bool = False
     # Additionally fold the pre-FFN LayerNorm into the same kernel.
     fused_ffn_ln: bool = False
+    # Run the whole FFN (LN + fc1 + GELU + dropout + fc2) as one custom_vjp
+    # block whose backward needs no forward replay (ffn_ln_block).
+    fused_ffn_block: bool = False
     # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
     remat_policy: str = "save_matmul_inputs"
 
@@ -351,6 +354,29 @@ def _ffn_block(lp: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
     return _ffn_up(lp["fc1"], h, dtype, act_drop, lrng, config)
 
 
+def _ffn_full(lp: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
+              config) -> jnp.ndarray:
+    """Whole FFN (LN + fc1 + GELU + dropout + fc2), pre-residual. With
+    ``fused_ffn_block`` the chain is ONE custom_vjp block whose backward
+    recomputes h and emits g on-MXU — the remat replay DCEs the FFN forward
+    (ops/ffn_pallas.py ffn_ln_block)."""
+    if getattr(config, "fused_ffn_block", False) and getattr(
+        config, "fused_ffn", False
+    ):
+        from ..ops.ffn_pallas import ffn_ln_block
+
+        lnp = lp["final_layer_norm"]
+        return ffn_ln_block(
+            checkpoint_name(x, "ffn_in").astype(dtype),
+            lp["fc1"]["kernel"], lp["fc1"]["bias"],
+            lnp["scale"], lnp["bias"],
+            lp["fc2"]["kernel"], lp["fc2"]["bias"],
+            act_drop, lrng if act_drop > 0.0 else None,
+        )
+    h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
+    return _dense(lp["fc2"], h, dtype)
+
+
 def _attention(
     p: dict,
     x_q: jnp.ndarray,
@@ -467,8 +493,7 @@ def encode(
             lp["self_attn"], h, h, n_heads, dtype,
             impl=getattr(config, "encoder_attention_impl", "flash"),
         )
-        h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
-        x = x + _dense(lp["fc2"], h, dtype)
+        x = x + _ffn_full(lp, x, dtype, act_drop, lrng, config)
         return x, None
 
     if gradient_checkpointing:
@@ -558,8 +583,7 @@ def decode_train(
             "cross_in",
         )
         x = x + _attention(lp["encoder_attn"], h, encoder_out, n_heads, dtype)
-        h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
-        x = x + _dense(lp["fc2"], h, dtype)
+        x = x + _ffn_full(lp, x, dtype, act_drop, lrng, config)
         return x, None
 
     if gradient_checkpointing:

@@ -423,6 +423,8 @@ class WhisperSetup:
             fused_ffn_ln=bool(
                 model_cfg.get("fused_ffn_ln", model_cfg.get("fused_ffn", True))
             ),
+            # Whole-FFN block VJP; default off until the hardware A/B.
+            fused_ffn_block=bool(model_cfg.get("fused_ffn_block", False)),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))

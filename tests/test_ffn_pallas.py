@@ -272,8 +272,12 @@ def test_whisper_fused_ffn_parity():
     )
     ids = jnp.asarray(rng.integers(0, 64, size=(2, 9)), jnp.int32)
     outs = []
-    for fused, fused_ln in ((False, False), (True, False), (True, True)):
-        c = dataclasses.replace(cfg, fused_ffn=fused, fused_ffn_ln=fused_ln)
+    for fused, fused_ln, block in (
+        (False, False, False), (True, False, False), (True, True, False),
+        (True, True, True),
+    ):
+        c = dataclasses.replace(cfg, fused_ffn=fused, fused_ffn_ln=fused_ln,
+                                fused_ffn_block=block)
         outs.append(
             forward(params, c, mel, ids, deterministic=False,
                     rng=jax.random.PRNGKey(7))

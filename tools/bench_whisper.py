@@ -40,6 +40,8 @@ def main() -> None:
     p.add_argument("--fused-ffn", action="store_true",
                    help="fuse fc1 with its GELU+dropout epilogue "
                         "(ops/ffn_pallas.py)")
+    p.add_argument("--ffn-block", action="store_true",
+                   help="whole-FFN block VJP (implies --fused-ffn-ln)")
     p.add_argument("--fused-ffn-ln", action="store_true",
                    help="additionally fold the pre-FFN LayerNorm into the "
                         "fused kernel (implies --fused-ffn)")
@@ -57,8 +59,9 @@ def main() -> None:
         kw["remat_policy"] = args.remat
     cfg = getattr(WhisperConfig, args.arch)(
         dtype=jnp.bfloat16, ln_impl=args.ln,
-        fused_ffn=args.fused_ffn or args.fused_ffn_ln,
-        fused_ffn_ln=args.fused_ffn_ln, **kw
+        fused_ffn=args.fused_ffn or args.fused_ffn_ln or args.ffn_block,
+        fused_ffn_ln=args.fused_ffn_ln or args.ffn_block,
+        fused_ffn_block=args.ffn_block, **kw
     )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     tx, schedule = create_optimizer(
@@ -117,8 +120,9 @@ def main() -> None:
         "batch": B,
         "ln": args.ln,
         "grad_dtype": args.grad_dtype,
-        "fused_ffn": args.fused_ffn or args.fused_ffn_ln,
-        "fused_ffn_ln": args.fused_ffn_ln,
+        "fused_ffn": args.fused_ffn or args.fused_ffn_ln or args.ffn_block,
+        "fused_ffn_ln": args.fused_ffn_ln or args.ffn_block,
+        "ffn_block": args.ffn_block,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(audio_seconds / elapsed, 2),
     }))
