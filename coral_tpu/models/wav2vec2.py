@@ -78,7 +78,9 @@ class Wav2Vec2Config:
     # profitable with remat policies that replay the forward anyway
     # (nothing_saveable); named-checkpoint policies would replay the fwd
     # kernel to rebuild the extra residual.
-    attention_save_stats: bool = False
+    # False | True (v1: transposed-space fwd+bwd) | "v2" (normal-space fwd
+    # + lse relayout, v1 transposed-space bwd).
+    attention_save_stats: bool | str = False
     # Save the attention output o as a VJP residual (it is the same flat
     # tensor as the "attn_ctx" checkpoint, so policies saving attn_ctx cover
     # it and nothing_saveable's replay produces it anyway) and use the

@@ -113,6 +113,43 @@ def _fwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     lse_ref[0] = jnp.concatenate(lse_rows, axis=0)
 
 
+def _fwd_kernel_stats_v2(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                         sm_scale: float, head_dim: int):
+    """Stats forward in NORMAL score space: identical compute to the
+    adopted stats-free forward (scale folded into q, the 1/l scaling on the
+    (T, d) output — no (T, T) divide), plus one small in-register
+    ``(T, 1) -> (1, T)`` transpose per head to emit the log-sum-exp in the
+    row layout Mosaic's output-block rule demands. The round-3 stats
+    variant ran the whole forward in transposed score space to avoid that
+    transpose and paid a (T, T) divide for it (measured slower, PARITY.md);
+    here the transpose touches T floats per head instead."""
+    bias = bias_ref[0]  # (1, T), broadcasts over query rows
+    n_heads = q_ref.shape[2] // head_dim
+    lse_rows = []
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
+        k = k_ref[0, :, lanes]
+        v = v_ref[0, :, lanes]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s = s + bias
+        m = jnp.max(s, axis=1, keepdims=True)   # (T, 1)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)   # (T, 1)
+        o = jax.lax.dot_general(
+            e.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
+        # Clamp like the v1 stats forward (see _fwd_kernel_stats): a fully
+        # masked row must yield p = 0 in the backward, not p = 1.
+        lse_col = jnp.maximum(m + jnp.log(l), -1e25)  # (T, 1)
+        lse_rows.append(lse_col.reshape(1, -1))       # (1, T) relayout
+    lse_ref[0] = jnp.concatenate(lse_rows, axis=0)
+
+
 def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                       dq_ref, dk_ref, dv_ref, *, sm_scale: float,
                       head_dim: int):
@@ -401,6 +438,28 @@ def _fwd_pallas_stats(q, k, v, bias, sm_scale, head_dim, interpret):
     )(q, k, v, bias_c)
 
 
+def _fwd_pallas_stats_v2(q, k, v, bias, sm_scale, head_dim, interpret):
+    B, T, HD = q.shape
+    H = HD // head_dim
+    groups = _head_groups(
+        HD, head_dim, n_blocks=5, T=T, itemsize=q.dtype.itemsize
+    )
+    qkv_spec, bias_spec = _specs(T, HD, groups)  # row bias, normal space
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_stats_v2, sm_scale=sm_scale, head_dim=head_dim
+        ),
+        grid=(B, groups),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
+        out_specs=[qkv_spec, _lse_spec(T, H, groups)],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, bias)
+
+
 def _bwd_pallas_stats(q, k, v, bias, do, lse, sm_scale, head_dim, interpret):
     B, T, HD = q.shape
     H = HD // head_dim
@@ -605,6 +664,43 @@ def _fwd_stats_cp(sm_scale, head_dim, interpret):
 
 
 @functools.lru_cache(maxsize=None)
+def _fwd_stats_v2_cp(sm_scale, head_dim, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bias: _fwd_pallas_stats_v2(
+            q, k, v, bias, sm_scale, head_dim, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        return (sh, _lse_sharding(arg_infos[0].sharding, mesh))
+
+    def partition(mesh, arg_infos, result_infos):
+        out_sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        lse_sh = _lse_sharding(arg_infos[0].sharding, mesh)
+        batch_spec = out_sh.spec[0]
+        arg_shs = (
+            out_sh, out_sh, out_sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+        )
+        lower = functools.partial(
+            _fwd_pallas_stats_v2, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
+        )
+        return mesh, lower, (out_sh, lse_sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b t (e f), b t (e f), b t (e f), b u t -> b t (e f), b e t"
+        ),
+        f=head_dim,
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
 def _bwd_stats_cp(sm_scale, head_dim, interpret):
     f = custom_partitioning(
         lambda q, k, v, bias, do, lse: _bwd_pallas_stats(
@@ -719,6 +815,26 @@ def _attention_stats_bwd(sm_scale, head_dim, interpret, res, do):
 _attention_stats.defvjp(_attention_stats_fwd, _attention_stats_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_stats_v2(q, k, v, bias, sm_scale, head_dim, interpret):
+    o, _ = _attention_stats_v2_fwd(
+        q, k, v, bias, sm_scale, head_dim, interpret
+    )
+    return o
+
+
+def _attention_stats_v2_fwd(q, k, v, bias, sm_scale, head_dim, interpret):
+    # Normal-space forward (same compute as the adopted stats-free kernel +
+    # a T-float lse relayout per head); the backward is the v1
+    # transposed-space stats kernel, which expects the k-side bias as a
+    # column — it transposes it itself in _bwd_pallas_stats.
+    o, lse = _fwd_stats_v2_cp(sm_scale, head_dim, interpret)(q, k, v, bias)
+    return o, (q, k, v, bias, lse)
+
+
+_attention_stats_v2.defvjp(_attention_stats_v2_fwd, _attention_stats_bwd)
+
+
 def short_t_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -791,7 +907,11 @@ def short_t_attention_flat(
     # a uniform distribution instead of exp(-inf + inf) = NaN poisoning the
     # summed loss.
     bias = jnp.where(pad_mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
-    if save_stats:
+    if save_stats == "v2":
+        # Normal-space forward + lse rows via a T-float in-register relayout
+        # per head; the v1 transposed-space backward consumes them.
+        fn = _attention_stats_v2
+    elif save_stats:
         fn = _attention_stats
     elif o_residual:
         fn = _attention_ctx

@@ -92,6 +92,64 @@ def test_save_stats_variant_matches_plain(qkv):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_save_stats_v2_variant_matches_plain(qkv):
+    """The v2 stats variant (normal-space forward + in-register lse
+    relayout, v1 transposed-space backward) must match the stats-free kernel
+    on values and the XLA path on gradients."""
+    q, k, v, pad = qkv
+    out = short_t_attention(q, k, v, pad, save_stats="v2")
+    ref = _xla_reference(q, k, v, pad)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.sin(fn(q, k, v)) * jnp.cos(q))
+
+    g_stats = jax.grad(
+        lambda q, k, v: loss(
+            lambda a, b, c: short_t_attention(a, b, c, pad, save_stats="v2"),
+            q, k, v,
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: loss(lambda a, b, c: _xla_reference(a, b, c, pad),
+                             q, k, v),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_stats, g_ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_save_stats_v2_fully_masked_row_grads():
+    """The v2 forward carries the same lse clamp as v1: a fully-masked row
+    yields p = 0 (zero grads) in the backward, valid rows exact parity."""
+    B, T, H, d = 2, 16, 2, 8
+    rng = np.random.default_rng(7)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+        for _ in range(3)
+    )
+    pad = jnp.asarray([[True] * T, [False] * T])
+    out = short_t_attention(q, k, v, pad, save_stats="v2")
+    assert np.all(np.isfinite(np.asarray(out)))
+    stats = lambda q, k, v: short_t_attention(  # noqa: E731
+        q, k, v, pad, save_stats="v2"
+    )
+    plain = lambda q, k, v: short_t_attention(q, k, v, pad)  # noqa: E731
+    for arg in (0, 1, 2):
+        def gr(fn, a=arg):
+            return jax.grad(
+                lambda x: jnp.sum(
+                    fn(x if a == 0 else q, x if a == 1 else k,
+                       x if a == 2 else v)
+                )
+            )((q, k, v)[a])
+        g_stats = np.asarray(gr(stats))
+        np.testing.assert_allclose(g_stats[0], np.asarray(gr(plain))[0],
+                                   atol=1e-5)
+        assert np.all(g_stats[1] == 0.0)
+
+
 def test_save_stats_fully_masked_row_grads():
     """A fully-masked row (eval dummy) must not poison gradients: the saved
     lse is clamped so the backward's exp(s + bias - lse) underflows to

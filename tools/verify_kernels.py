@@ -142,6 +142,15 @@ def verify_attention_pallas():
     for name, a, b in zip(("dq", "dk", "dv"), g_stats, g_ref):
         check(f"save_stats backward {name}", a, b, growth=3.0)
 
+    # save_stats v2: normal-space fwd + in-register lse relayout, v1 bwd
+    stats2 = jax.jit(
+        lambda q, k, v: short_t_attention(q, k, v, mask, save_stats="v2")
+    )
+    check("save_stats_v2 forward", stats2(q, k, v), ref(q, k, v))
+    g_stats2 = jax.jit(jax.grad(loss(stats2), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g_stats2, g_ref):
+        check(f"save_stats_v2 backward {name}", a, b, growth=3.0)
+
     # o-residual variant (the production flat path): flash-style delta bwd
     from coral_tpu.ops.attention_pallas import short_t_attention_flat
 
