@@ -140,6 +140,11 @@ class Wav2Vec2Setup:
             mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
             mask_feature_length=model_cfg.get("mask_feature_length", 64),
             attention_impl=model_cfg.get("attention_impl", "pallas"),
+            # False | true (v1) | "v2" — see models/wav2vec2.py.
+            attention_save_stats=model_cfg.get("attention_save_stats", False),
+            attention_o_residual=bool(
+                model_cfg.get("attention_o_residual", False)
+            ),
             fused_fe_conv=bool(model_cfg.get("fused_fe_conv", True)),
             encoder_ln_impl=model_cfg.get("encoder_ln_impl", "pallas"),
             # Defaults = the measured round-3 winning stack (bench.py /
@@ -178,6 +183,27 @@ class Wav2Vec2Setup:
             logger.warning(
                 "remat_policy=save_ctx_act without fused_ffn degrades to "
                 "save_attn_ctx (no 'ffn_act' checkpoint is emitted)."
+            )
+        if remat_policy == "save_ctx_act" and self.model_config.fused_ffn_block:
+            # The block VJP never emits "ffn_act" (the whole point: nothing
+            # from its forward is a residual), so the policy degrades the
+            # same way.
+            logger.warning(
+                "remat_policy=save_ctx_act with fused_ffn_block degrades to "
+                "save_attn_ctx (the FFN block emits no 'ffn_act' checkpoint)."
+            )
+        if remat_policy in ("save_attn_ctx", "save_ctx_act") and (
+            self.model_config.attention_save_stats
+        ):
+            # The stats variants add a live lse residual that the named
+            # policies do not save, which pulls the attention forward back
+            # into the remat replay — defeating both the policy and the
+            # stats variant's saved passes.
+            logger.warning(
+                f"remat_policy={remat_policy} with attention_save_stats "
+                "forces an attention forward replay to rebuild the unsaved "
+                "lse residual; use remat_policy=nothing_saveable with the "
+                "stats variants."
             )
         self.model = Wav2Vec2ForCTC(
             self.model_config,
