@@ -205,25 +205,28 @@ def main() -> None:
     n_chips = len(devices)
     mesh = create_mesh()
 
-    # Winning v5e configuration (tools/bench_config.py sweeps, rounds 2-3):
-    # pallas short-T attention (lane-sliced heads, no layout copies) + fused
-    # GELU+dropout + fused feature-encoder conv+LN+GELU + pallas encoder LNs
-    # + bf16 first Adam moment + full-replay remat (nothing_saveable) at
-    # B=48, feature-encoder remat OFF. Round-3 measured attribution on top
-    # of that reference (821.9 audio-s/s, same session):
-    #   fused FFN up-projection w/ LN fold (fused_ffn_ln)  largest single win
-    #   folded positional conv (pos_conv_fold)             831.8 single
-    #   bf16 gradient buffers (grad_dtype)                 826.9 single
-    #   full stack                                         871.5
-    # attention_save_stats measured SLOWER (807.2) and stays off.
+    # Winning v5e configuration (tools/bench_config.py sweeps, rounds 2-4;
+    # = Wav2Vec2Setup production defaults, pinned by
+    # tests/test_bench_defaults.py): pallas short-T attention (lane-sliced
+    # heads, no layout copies) + fused GELU+dropout + fused feature-encoder
+    # conv+LN+GELU + pallas encoder LNs + bf16 first Adam moment at B=48,
+    # feature-encoder remat OFF. Round-4 measured attribution on top of the
+    # round-3 stack (871.1 audio-s/s, same session):
+    #   whole-FFN block VJP (fused_ffn_block)               892.9
+    #   + save_attn_ctx remat (attention fwd DCEs from the
+    #     replay; the saved ctx fits alongside B=48)        905.3 (ADOPTED)
+    # Rejected on the same session's A/Bs: o-residual bwd (864.1),
+    # save_matmul_inputs at B=48 (OOM, 18.2 vs 15.75 GB), fused_qkv_ln
+    # (821.2), FE_TB 512/128 (865.3/853.0).
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas",
-        fused_ffn=True, fused_ffn_ln=True, pos_conv_fold=True,
+        fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
+        pos_conv_fold=True,
     )
     model = Wav2Vec2ForCTC(
         config,
         gradient_checkpointing=True,
-        remat_policy="nothing_saveable",
+        remat_policy="save_attn_ctx",
         remat_feature_encoder=False,
     )
 

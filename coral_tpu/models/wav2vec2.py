@@ -736,6 +736,14 @@ _REMAT_POLICIES = {
     "save_ctx_act": jax.checkpoint_policies.save_only_these_names(
         "attn_ctx", "ffn_act"
     ),
+    # For attention_save_stats="v2": the stats backward reads lse (not o)
+    # while out_proj's dW reads o, so saving both (~50 MB/layer total at
+    # B=48 x 10 s) DCEs the attention forward from the remat replay AND
+    # keeps the one-pass p = exp(s - lse) rebuild. With the stats variants
+    # OFF this behaves exactly like save_attn_ctx (no "attn_lse" exists).
+    "save_attn_ctx_lse": jax.checkpoint_policies.save_only_these_names(
+        "attn_ctx", "attn_lse"
+    ),
     # As above plus the 4x-wide FFN pre-activation ("ffn_hidden"; on the
     # fused-FFN path the post-activation "ffn_act" plays the same role):
     # backward recomputes only the softmax chain and elementwise ops.

@@ -824,11 +824,20 @@ def _attention_stats_v2(q, k, v, bias, sm_scale, head_dim, interpret):
 
 
 def _attention_stats_v2_fwd(q, k, v, bias, sm_scale, head_dim, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
     # Normal-space forward (same compute as the adopted stats-free kernel +
     # a T-float lse relayout per head); the backward is the v1
     # transposed-space stats kernel, which expects the k-side bias as a
     # column — it transposes it itself in _bwd_pallas_stats.
     o, lse = _fwd_stats_v2_cp(sm_scale, head_dim, interpret)(q, k, v, bias)
+    # Name the lse residual so a named-checkpoint policy can cover it: the
+    # backward reads lse (not o), while the model's out-projection dW reads
+    # o (the model names it "attn_ctx" on the stats paths) — saving
+    # {attn_ctx, attn_lse} (save_attn_ctx_lse) therefore DCEs the attention
+    # forward from the remat replay AND keeps the one-pass p = exp(s - lse)
+    # rebuild (lse is ~1 MB/layer vs o's ~49 MB at B=48 x 10 s).
+    lse = checkpoint_name(lse, "attn_lse")
     return o, (q, k, v, bias, lse)
 
 

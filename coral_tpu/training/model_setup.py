@@ -159,9 +159,9 @@ class Wav2Vec2Setup:
             ),
             fused_qkv_ln=bool(model_cfg.get("fused_qkv_ln", False)),
             # Whole-FFN block VJP (fc1 kernel + fc2 in one custom_vjp; the
-            # remat replay DCEs the FFN forward). Default off until the
-            # hardware A/B adopts it.
-            fused_ffn_block=bool(model_cfg.get("fused_ffn_block", False)),
+            # remat replay DCEs the FFN forward): 892.9 vs 871.1 audio-s/s
+            # at B=48 on the round-4 A/B — adopted.
+            fused_ffn_block=bool(model_cfg.get("fused_ffn_block", True)),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
         )
         if not self.model_config.do_stable_layer_norm and (
@@ -175,7 +175,12 @@ class Wav2Vec2Setup:
                 "(pre-LN, the XLS-R architecture); set fused_ffn_ln=false "
                 "and fused_qkv_ln=false for post-LN configs."
             )
-        remat_policy = config.get("remat_policy", "nothing_saveable")
+        # Default = save_attn_ctx (round-4 A/B: 905.3 audio-s/s vs 892.9
+        # nothing_saveable at B=48 with the FFN block — saving the ~49
+        # MB/layer attention output DCEs the attention fwd kernel from the
+        # remat replay and fits alongside B=48). Memory-tighter configs
+        # (larger archs/batches) opt out with remat_policy=nothing_saveable.
+        remat_policy = config.get("remat_policy", "save_attn_ctx")
         if remat_policy == "save_ctx_act" and not self.model_config.fused_ffn:
             # save_ctx_act saves "ffn_act", emitted only on the fused-FFN
             # path (the unfused path names "ffn_hidden"); without fused_ffn

@@ -37,7 +37,8 @@ def bench_model_config(vocab_size: int) -> Wav2Vec2Config:
     """The exact model-config construction bench.py measures."""
     return Wav2Vec2Config.xls_r_300m(
         vocab_size=vocab_size, dtype=jnp.bfloat16, attention_impl="pallas",
-        fused_ffn=True, fused_ffn_ln=True, pos_conv_fold=True,
+        fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
+        pos_conv_fold=True,
     )
 
 
@@ -64,9 +65,9 @@ def test_default_model_config_matches_bench(setup) -> None:
 
 
 def test_default_trainer_flags_match_bench(setup) -> None:
-    # bench.py: remat_policy="nothing_saveable", remat_feature_encoder=False,
+    # bench.py: remat_policy="save_attn_ctx", remat_feature_encoder=False,
     # grad_dtype="bfloat16", mu_dtype="bfloat16".
-    assert setup.model.remat_policy == "nothing_saveable"
+    assert setup.model.remat_policy == "save_attn_ctx"
     assert setup.model.remat_feature_encoder is False
     assert setup.config.get("grad_dtype", "bfloat16") == "bfloat16"
     assert setup.config.get("adam_mu_dtype", "bfloat16") == "bfloat16"
@@ -94,6 +95,9 @@ def test_fused_ffn_opt_outs(config_path, tmp_path) -> None:
 
     no_fold = make("+model.pos_conv_fold=false")
     assert no_fold.pos_conv_fold is False
+
+    no_block = make("+model.fused_ffn_block=false")
+    assert no_block.fused_ffn_block is False and no_block.fused_ffn is True
 
 
 def test_whisper_defaults_match_bench(config_path, tmp_path) -> None:
