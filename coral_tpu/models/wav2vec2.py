@@ -744,6 +744,15 @@ _REMAT_POLICIES = {
     "save_attn_ctx_lse": jax.checkpoint_policies.save_only_these_names(
         "attn_ctx", "attn_lse"
     ),
+    # Also save the q/k/v projections (4 x ~49 MB/layer at B=48 x 10 s,
+    # ~4.7 GB at 24 layers): the backward replay then carries only the LN
+    # and out-projection matmuls — the attention bwd kernel's q/k/v
+    # operands and the out-projection's dW operand all come from storage.
+    # Memory-aggressive; pairs with fused_ffn_block (which freed the
+    # 4x-wide stacking the old save_matmul_inputs_ffn paid).
+    "save_qkv_ctx": jax.checkpoint_policies.save_only_these_names(
+        "q", "k", "v", "attn_ctx"
+    ),
     # As above plus the 4x-wide FFN pre-activation ("ffn_hidden"; on the
     # fused-FFN path the post-activation "ffn_act" plays the same role):
     # backward recomputes only the softmax chain and elementwise ops.
