@@ -214,19 +214,22 @@ def main() -> None:
     # round-3 stack (871.1 audio-s/s, same session):
     #   whole-FFN block VJP (fused_ffn_block)               892.9
     #   + save_attn_ctx remat (attention fwd DCEs from the
-    #     replay; the saved ctx fits alongside B=48)        905.3 (ADOPTED)
+    #     replay; the saved ctx fits alongside B=48)        905.3 / 906.5
+    #   + attention_save_stats=v2 w/ save_attn_ctx_lse
+    #     (one-pass p rebuild off the saved lse)            910.7 (ADOPTED)
     # Rejected on the same session's A/Bs: o-residual bwd (864.1),
     # save_matmul_inputs at B=48 (OOM, 18.2 vs 15.75 GB), fused_qkv_ln
-    # (821.2), FE_TB 512/128 (865.3/853.0).
+    # (821.2), FE_TB 512/128 (865.3/853.0), scan unroll=2 (880.6).
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas",
+        attention_save_stats="v2",
         fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
         pos_conv_fold=True,
     )
     model = Wav2Vec2ForCTC(
         config,
         gradient_checkpointing=True,
-        remat_policy="save_attn_ctx",
+        remat_policy="save_attn_ctx_lse",
         remat_feature_encoder=False,
     )
 
@@ -338,6 +341,7 @@ def bench_whisper() -> dict:
     # buffers; train-path LNs stay XLA (pallas measured slower).
     cfg = WhisperConfig.small(
         dtype=jnp.bfloat16, fused_ffn=True, fused_ffn_ln=True,
+        fused_ffn_block=True,
     )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     rng_np = np.random.default_rng(0)

@@ -750,8 +750,11 @@ _REMAT_POLICIES = {
     # operands and the out-projection's dW operand all come from storage.
     # Memory-aggressive; pairs with fused_ffn_block (which freed the
     # 4x-wide stacking the old save_matmul_inputs_ffn paid).
+    # ("attn_lse" only exists under attention_save_stats="v2"; naming it
+    # here is harmless otherwise and keeps the policy composable with the
+    # stats backward.)
     "save_qkv_ctx": jax.checkpoint_policies.save_only_these_names(
-        "q", "k", "v", "attn_ctx"
+        "q", "k", "v", "attn_ctx", "attn_lse"
     ),
     # As above plus the 4x-wide FFN pre-activation ("ffn_hidden"; on the
     # fused-FFN path the post-activation "ffn_act" plays the same role):

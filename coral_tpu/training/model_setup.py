@@ -140,8 +140,10 @@ class Wav2Vec2Setup:
             mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
             mask_feature_length=model_cfg.get("mask_feature_length", 64),
             attention_impl=model_cfg.get("attention_impl", "pallas"),
-            # False | true (v1) | "v2" — see models/wav2vec2.py.
-            attention_save_stats=model_cfg.get("attention_save_stats", False),
+            # False | true (v1) | "v2" — see models/wav2vec2.py. Default v2
+            # (round-4 A/B: 910.7 with save_attn_ctx_lse vs 906.5 without
+            # the stats; the backward rebuilds p = exp(s - lse) in one pass).
+            attention_save_stats=model_cfg.get("attention_save_stats", "v2"),
             attention_o_residual=bool(
                 model_cfg.get("attention_o_residual", False)
             ),
@@ -175,12 +177,14 @@ class Wav2Vec2Setup:
                 "(pre-LN, the XLS-R architecture); set fused_ffn_ln=false "
                 "and fused_qkv_ln=false for post-LN configs."
             )
-        # Default = save_attn_ctx (round-4 A/B: 905.3 audio-s/s vs 892.9
-        # nothing_saveable at B=48 with the FFN block — saving the ~49
-        # MB/layer attention output DCEs the attention fwd kernel from the
-        # remat replay and fits alongside B=48). Memory-tighter configs
-        # (larger archs/batches) opt out with remat_policy=nothing_saveable.
-        remat_policy = config.get("remat_policy", "save_attn_ctx")
+        # Default = save_attn_ctx_lse (round-4 A/Bs at B=48 with the FFN
+        # block: nothing_saveable 892.9 -> save_attn_ctx 905.3/906.5 ->
+        # + the v2 stats residual 910.7 — saving the ~49 MB/layer attention
+        # output and its ~1 MB lse DCEs the attention fwd kernel from the
+        # remat replay while keeping the one-pass p rebuild). Behaves
+        # exactly like save_attn_ctx when the stats variant is off;
+        # memory-tighter configs opt out with remat_policy=nothing_saveable.
+        remat_policy = config.get("remat_policy", "save_attn_ctx_lse")
         if remat_policy == "save_ctx_act" and not self.model_config.fused_ffn:
             # save_ctx_act saves "ffn_act", emitted only on the fused-FFN
             # path (the unfused path names "ffn_hidden"); without fused_ffn
@@ -199,7 +203,7 @@ class Wav2Vec2Setup:
             )
         if remat_policy in ("save_attn_ctx", "save_ctx_act") and (
             self.model_config.attention_save_stats
-        ):
+        ) and self.model_config.attention_impl == "pallas":
             # The stats variants add a live lse residual that the named
             # policies do not save, which pulls the attention forward back
             # into the remat replay — defeating both the policy and the
@@ -207,8 +211,8 @@ class Wav2Vec2Setup:
             logger.warning(
                 f"remat_policy={remat_policy} with attention_save_stats "
                 "forces an attention forward replay to rebuild the unsaved "
-                "lse residual; use remat_policy=nothing_saveable with the "
-                "stats variants."
+                "lse residual; use remat_policy=save_attn_ctx_lse (default) "
+                "or nothing_saveable with the stats variants."
             )
         self.model = Wav2Vec2ForCTC(
             self.model_config,
@@ -454,8 +458,9 @@ class WhisperSetup:
             fused_ffn_ln=bool(
                 model_cfg.get("fused_ffn_ln", model_cfg.get("fused_ffn", True))
             ),
-            # Whole-FFN block VJP; default off until the hardware A/B.
-            fused_ffn_block=bool(model_cfg.get("fused_ffn_block", False)),
+            # Whole-FFN block VJP: whisper-small 1374.5 -> 1384.1 audio-s/s
+            # on the round-4 A/B — adopted.
+            fused_ffn_block=bool(model_cfg.get("fused_ffn_block", True)),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))

@@ -37,6 +37,7 @@ def bench_model_config(vocab_size: int) -> Wav2Vec2Config:
     """The exact model-config construction bench.py measures."""
     return Wav2Vec2Config.xls_r_300m(
         vocab_size=vocab_size, dtype=jnp.bfloat16, attention_impl="pallas",
+        attention_save_stats="v2",
         fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
         pos_conv_fold=True,
     )
@@ -65,9 +66,9 @@ def test_default_model_config_matches_bench(setup) -> None:
 
 
 def test_default_trainer_flags_match_bench(setup) -> None:
-    # bench.py: remat_policy="save_attn_ctx", remat_feature_encoder=False,
+    # bench.py: remat_policy="save_attn_ctx_lse", remat_feature_encoder=False,
     # grad_dtype="bfloat16", mu_dtype="bfloat16".
-    assert setup.model.remat_policy == "save_attn_ctx"
+    assert setup.model.remat_policy == "save_attn_ctx_lse"
     assert setup.model.remat_feature_encoder is False
     assert setup.config.get("grad_dtype", "bfloat16") == "bfloat16"
     assert setup.config.get("adam_mu_dtype", "bfloat16") == "bfloat16"
