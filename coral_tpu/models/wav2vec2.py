@@ -113,6 +113,9 @@ class Wav2Vec2Config:
     # remat replay DCEs the FFN forward entirely — 7 same-size matmuls per
     # layer instead of 8. Requires fused_ffn; composes with fused_ffn_ln.
     fused_ffn_block: bool = False
+    # With fused_ffn_block: accumulate dW1/dW2 on-MXU inside the backward
+    # kernel (VMEM-resident fp32 blocks; g/dh/ln_out never return to HBM).
+    fused_ffn_block_dw: bool = False
     # Fold the pre-attention LayerNorm into a packed QKV projection kernel
     # (ops/ffn_pallas.py ln_dense): one (D, 3D) matmul with the LN computed
     # in-register, removing the separate LN kernels and the normalised
@@ -577,6 +580,7 @@ class FeedForward(nn.Module):
                 x = ffn_ln_block(
                     x, kernel1, bias1, gamma, beta, kernel2, bias2, rate,
                     rng, eps=cfg.layer_norm_eps,
+                    dw_in_kernel=cfg.fused_ffn_block_dw,
                 )
             else:
                 x = ffn_block(x, kernel1, bias1, kernel2, bias2, rate, rng)
@@ -755,6 +759,12 @@ _REMAT_POLICIES = {
     # stats backward.)
     "save_qkv_ctx": jax.checkpoint_policies.save_only_these_names(
         "q", "k", "v", "attn_ctx", "attn_lse"
+    ),
+    # save_qkv_ctx OOMs at B=48 by 281 MB (16.02 vs 15.75 GB, round-4
+    # probe); dropping v from the saved set fits — the replay then carries
+    # only the LN + v/o projection matmuls.
+    "save_qk_ctx": jax.checkpoint_policies.save_only_these_names(
+        "q", "k", "attn_ctx", "attn_lse"
     ),
     # As above plus the 4x-wide FFN pre-activation ("ffn_hidden"; on the
     # fused-FFN path the post-activation "ffn_act" plays the same role):

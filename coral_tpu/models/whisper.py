@@ -88,6 +88,9 @@ class WhisperConfig:
     # Run the whole FFN (LN + fc1 + GELU + dropout + fc2) as one custom_vjp
     # block whose backward needs no forward replay (ffn_ln_block).
     fused_ffn_block: bool = False
+    # With fused_ffn_block: accumulate dW1/dW2 on-MXU inside the backward
+    # kernel (VMEM-resident fp32 blocks).
+    fused_ffn_block_dw: bool = False
     # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
     remat_policy: str = "save_matmul_inputs"
 
@@ -372,6 +375,7 @@ def _ffn_full(lp: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
             lnp["scale"], lnp["bias"],
             lp["fc2"]["kernel"], lp["fc2"]["bias"],
             act_drop, lrng if act_drop > 0.0 else None,
+            dw_in_kernel=getattr(config, "fused_ffn_block_dw", False),
         )
     h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
     return _dense(lp["fc2"], h, dtype)

@@ -269,6 +269,90 @@ def _bwd_kernel_ln_g_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref,
                      db_acc, dvec_acc, n_rows=n_rows)
 
 
+def _bwd_kernel_ln_dw(x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref, dg_ref,
+                      dx_ref, dw1_ref, dw2_ref, db_ref, dvec_ref,
+                      db_acc, dvec_acc, *, threshold: int, scale: float,
+                      eps: float, n_rows: int, seed_ref=None):
+    """Block backward with IN-KERNEL dW accumulation: dW1 and dW2 build up
+    in fp32 VMEM-resident output blocks across the whole grid (the
+    ``ref += dot`` pattern lowers to native MXU accumulation, like the FE
+    conv kernel's dw scratch), so g / dh / ln_out never leave VMEM at all —
+    the block VJP's remaining 4x-wide HBM round-trips disappear. Four
+    matmuls per block: h recompute, dl = dh @ W1^T, dW1 += ln^T dh,
+    dW2 += g^T dy; the dg = dy @ W2^T matmul stays outside (its operands
+    are already in HBM)."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, t == 0))
+    def _():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+
+    @pl.when(t == 0)
+    def _():
+        db_acc[...] = jnp.zeros_like(db_acc)
+        dvec_acc[...] = jnp.zeros_like(dvec_acc)
+
+    acc, ln_b, xhat, rstd = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    gact, h = _epilogue(acc, b_ref)
+    dg = dg_ref[0].astype(jnp.float32)
+    if threshold:
+        pltpu.prng_seed(seed_ref[b], t)
+        bits = pltpu.prng_random_bits(dg.shape)
+        keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+        dh = jnp.where(keep, dg * scale * _dgelu(h), 0.0)
+        gact = jnp.where(keep, gact * scale, 0.0)
+    else:
+        dh = dg * _dgelu(h)
+
+    # Ragged last block: pad rows hold unspecified data. Everything feeding
+    # an accumulator or an in-kernel dot must be true zeros on BOTH operand
+    # sides (the MXU propagates 0 * NaN = NaN).
+    row = t * dh.shape[0] + jax.lax.broadcasted_iota(
+        jnp.int32, (dh.shape[0], 1), 0
+    )
+    mask = row < n_rows
+    dh = jnp.where(mask, dh, 0.0)
+    xhat = jnp.where(mask, xhat, 0.0)
+    ln_m = jnp.where(mask, ln_b.astype(jnp.float32), 0.0).astype(ln_b.dtype)
+    g_m = jnp.where(mask, gact, 0.0).astype(x_ref.dtype)
+    dy_m = jnp.where(
+        mask, dy_ref[0].astype(jnp.float32), 0.0
+    ).astype(x_ref.dtype)
+
+    dhb = dh.astype(x_ref.dtype)
+    db_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
+
+    dw1_ref[...] += jax.lax.dot_general(
+        ln_m, dhb, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dw2_ref[...] += jax.lax.dot_general(
+        g_m, dy_m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    dl = jax.lax.dot_general(
+        dhb, w_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dvec_acc[0, :] += jnp.sum(dl * xhat, axis=0)  # dgamma
+    dvec_acc[1, :] += jnp.sum(dl, axis=0)         # dbeta
+    dn = dl * g_ref[...].astype(jnp.float32)
+    dx = (
+        dn
+        - jnp.mean(dn, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dn * xhat, axis=-1, keepdims=True)
+    ) * rstd
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        db_ref[0] = db_acc[...]
+        dvec_ref[0] = dvec_acc[...]
+
+
 def _bwd_kernel_g(x_ref, w_ref, b_ref, dy_ref, dh_ref, gout_ref, dx_ref,
                   db_ref, db_acc, *, n_rows: int):
     """Plain (no-LN) backward that additionally emits ``g``."""
@@ -539,6 +623,61 @@ def _bwd_pallas_ln_g(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
     return dh, g, dx, ln_out, jnp.squeeze(db, axis=1), dvec
+
+
+def _bwd_pallas_ln_dw(x, w, b, gamma, beta, dy, dg, seeds, rate, eps,
+                      interpret):
+    """Block backward with in-kernel dW accumulation:
+    (dx, dw1, dw2, db_rows, dvec_rows); dw1/dw2 are whole fp32 arrays
+    accumulated across the grid in VMEM-resident output blocks."""
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    dy_spec = pl.BlockSpec((1, _TM, D), lambda b, t: (b, t, 0))
+    in_specs = [x_spec, w_spec, b_spec, d_spec, d_spec, dy_spec, out_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+
+        def kernel(seed_ref, *refs):
+            _bwd_kernel_ln_dw(*refs, threshold=threshold, scale=scale,
+                              eps=eps, n_rows=T, seed_ref=seed_ref)
+
+        args = (seeds, x, w, b, gamma, beta, dy, dg)
+    else:
+        kernel = functools.partial(_bwd_kernel_ln_dw, threshold=0,
+                                   scale=1.0, eps=eps, n_rows=T)
+        args = (x, w, b, gamma, beta, dy, dg)
+    dx, dw1, dw2, db, dvec = pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=[
+            x_spec,
+            # Whole-array fp32 accumulators with constant index maps: the
+            # blocks stay VMEM-resident across the grid and flush once.
+            pl.BlockSpec((D, F), lambda b, t: (0, 0)),
+            pl.BlockSpec((F, D), lambda b, t: (0, 0)),
+            pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 2, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),      # dx
+            jax.ShapeDtypeStruct((D, F), jnp.float32),     # dW1
+            jax.ShapeDtypeStruct((F, D), jnp.float32),     # dW2
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),  # db rows
+            jax.ShapeDtypeStruct((B, 2, D), jnp.float32),  # dgamma/dbeta rows
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, F), jnp.float32),
+            pltpu.VMEM((2, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+    return dx, dw1, dw2, jnp.squeeze(db, axis=1), dvec
 
 
 def _fwd_pallas_ln(x, w, b, gamma, beta, seeds, rate, eps, interpret):
@@ -1005,6 +1144,76 @@ def _bwd_ln_g_cp(rate, eps, interpret, with_seeds):
     return f
 
 
+def _bwd_ln_dw_shardings(mesh, x_info, w_info):
+    batch = _spec_dim(x_info.sharding, 0)
+    col = _spec_dim(w_info.sharding, 1)
+    return (
+        NamedSharding(mesh, P(batch, None, None)),   # dx
+        NamedSharding(mesh, P(None, col)),           # dW1 (col-sharded F)
+        NamedSharding(mesh, P(col, None)),           # dW2 (row-sharded F)
+        NamedSharding(mesh, P(batch, col)),          # db rows
+        NamedSharding(mesh, P(batch, None, None)),   # dgamma/dbeta rows
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_ln_dw_cp(rate, eps, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, g, bt, dy, dg: _bwd_pallas_ln_dw(  # noqa: E731
+            x, w, b, g, bt, dy, dg, seeds, rate, eps, interpret
+        )
+        rule = ("b, b t d, d f, f, d, d, b t d, b t f -> "
+                "b t d, d f, f d, b f, b v d")
+    else:
+        fn = lambda x, w, b, g, bt, dy, dg: _bwd_pallas_ln_dw(  # noqa: E731
+            x, w, b, g, bt, dy, dg, None, rate, eps, interpret
+        )
+        rule = ("b t d, d f, f, d, d, b t d, b t f -> "
+                "b t d, d f, f d, b f, b v d")
+    f = custom_partitioning(fn)
+
+    def args_xw(arg_infos):
+        return (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bwd_ln_dw_shardings(mesh, *args_xw(arg_infos))
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = args_xw(arg_infos)
+        out_sh = _bwd_ln_dw_shardings(mesh, xi, wi)
+        arg_sh = _shardings(mesh, xi, wi, with_seeds)[1]
+        rep_d = NamedSharding(mesh, P(None))
+        batch = _spec_dim(xi.sharding, 0)
+        col = _spec_dim(wi.sharding, 1)
+        dy_sh = NamedSharding(mesh, P(batch, None, None))
+        dg_sh = NamedSharding(mesh, P(batch, None, col))
+
+        def lower(*a):
+            dx, dw1, dw2, db_rows, dvec_rows = fn(*a)
+            if batch is not None:
+                # The kernel accumulates its dW over the LOCAL batch shard;
+                # GSPMD cannot see into the custom call, so reduce here.
+                dw1 = jax.lax.psum(dw1, batch)
+                dw2 = jax.lax.psum(dw2, batch)
+            if col is not None:
+                # Column-sharded W1 (TP): dl = dh @ W^T contracts only the
+                # local F slice, so dx and dgamma/dbeta are partial sums.
+                dx = jax.lax.psum(dx, col)
+                dvec_rows = jax.lax.psum(dvec_rows, col)
+            return dx, dw1, dw2, db_rows, dvec_rows
+
+        return mesh, lower, out_sh, arg_sh + (rep_d, rep_d, dy_sh, dg_sh)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
 @functools.lru_cache(maxsize=None)
 def _fwd_lnmm_cp(eps, interpret):
     fn = lambda x, w, b, g, bt: _fwd_pallas_lnmm(  # noqa: E731
@@ -1248,6 +1457,54 @@ def _ffn_ln_block_bwd(rate, eps, interpret, res, dy):
 _ffn_ln_block.defvjp(_ffn_ln_block_fwd, _ffn_ln_block_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _ffn_ln_block_dw(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                     interpret):
+    if rate > 0.0:
+        g = _fwd_ln_cp(rate, eps, interpret, True)(
+            seeds, x, w1, b1, gamma, beta
+        )
+    else:
+        g = _fwd_ln_cp(rate, eps, interpret, False)(x, w1, b1, gamma, beta)
+    return _fc2(g, w2, b2)
+
+
+def _ffn_ln_block_dw_fwd(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                         interpret):
+    y = _ffn_ln_block_dw(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                         interpret)
+    return y, (x, w1, b1, gamma, beta, w2, seeds)
+
+
+def _ffn_ln_block_dw_bwd(rate, eps, interpret, res, dy):
+    x, w1, b1, gamma, beta, w2, seeds = res
+    # dg = dy @ W2^T stays a plain XLA matmul (both operands already live in
+    # HBM); everything downstream of it — h/g recompute, dh, dW1, dW2, dx,
+    # db1, dgamma/dbeta — runs in ONE kernel with the dW products
+    # accumulated on-MXU into VMEM-resident fp32 blocks, so no 4x-wide
+    # tensor ever returns to HBM.
+    dg = jax.lax.dot_general(
+        dy, w2.astype(dy.dtype), (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dy.dtype)
+    if rate > 0.0:
+        dx, dw1, dw2, db1_rows, dvec_rows = _bwd_ln_dw_cp(
+            rate, eps, interpret, True
+        )(seeds, x, w1, b1, gamma, beta, dy, dg)
+    else:
+        dx, dw1, dw2, db1_rows, dvec_rows = _bwd_ln_dw_cp(
+            rate, eps, interpret, False
+        )(x, w1, b1, gamma, beta, dy, dg)
+    db1 = jnp.sum(db1_rows, axis=0)
+    dvec = jnp.sum(dvec_rows, axis=0)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    return (dx, dw1.astype(w1.dtype), db1, dvec[0].astype(gamma.dtype),
+            dvec[1].astype(beta.dtype), dw2.astype(w2.dtype), db2, None)
+
+
+_ffn_ln_block_dw.defvjp(_ffn_ln_block_dw_fwd, _ffn_ln_block_dw_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _ffn_block(x, w1, b1, w2, b2, seeds, rate, interpret):
     if rate > 0.0:
@@ -1472,6 +1729,7 @@ def ffn_ln_block(
     rng: jax.Array | None = None,
     eps: float = 1e-5,
     interpret: bool | None = None,
+    dw_in_kernel: bool = False,
 ) -> jnp.ndarray:
     """The whole pre-LN FFN as ONE differentiable block:
     ``dropout(gelu(layer_norm(x) @ w1 + b1), rate) @ w2 + b2``.
@@ -1497,6 +1755,10 @@ def ffn_ln_block(
         rng: PRNG key, required when ``rate > 0``.
         eps: LayerNorm epsilon.
         interpret: run the Pallas interpreter off-TPU (rate=0 only).
+        dw_in_kernel: accumulate dW1/dW2 on-MXU into VMEM-resident fp32
+            blocks inside the backward kernel (4 in-kernel matmuls; only
+            dg = dy @ W2^T stays outside) — g/dh/ln_out never return to
+            HBM. False = emit them for outside XLA dW matmuls.
 
     Returns:
         (B, T, D) FFN output in ``x.dtype`` (residual add stays outside).
@@ -1508,7 +1770,8 @@ def ffn_ln_block(
     if (interpret and rate > 0.0) or D % 128 != 0 or F % 128 != 0:
         g = _xla_reference_ln(x, w1, b1, gamma, beta, rate, rng, eps)
         return _fc2(g, w2, b2)
-    return _ffn_ln_block(
+    fn = _ffn_ln_block_dw if dw_in_kernel else _ffn_ln_block
+    return fn(
         x, w1.astype(x.dtype), b1, gamma, beta, w2.astype(x.dtype), b2,
         _block_seeds(x, rate, rng), float(rate), float(eps), interpret,
     )

@@ -365,9 +365,15 @@ def finetune(config: Any) -> dict[str, float]:
         window_audio_seconds += batch_seconds
 
         if step % logging_steps == 0 or step == max_steps:
+            # The loss fetch is the window's sync point: async dispatch means
+            # wall time must be taken AFTER blocking on the step's results,
+            # or the window measures only host dispatch + infeed (the device
+            # wait would fall between `elapsed` and the next window_start,
+            # counted nowhere, inflating throughput ~5x).
+            loss_val = float(metrics["loss"])
             elapsed = time.perf_counter() - window_start
             logged = {
-                "loss": float(metrics["loss"]),
+                "loss": loss_val,
                 "grad_norm": float(metrics["grad_norm"]),
                 "learning_rate": float(metrics["learning_rate"]),
                 "audio_seconds_per_second": window_audio_seconds / max(elapsed, 1e-9),

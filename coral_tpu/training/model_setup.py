@@ -164,6 +164,10 @@ class Wav2Vec2Setup:
             # remat replay DCEs the FFN forward): 892.9 vs 871.1 audio-s/s
             # at B=48 on the round-4 A/B — adopted.
             fused_ffn_block=bool(model_cfg.get("fused_ffn_block", True)),
+            # In-kernel dW accumulation; default off until the hardware A/B.
+            fused_ffn_block_dw=bool(
+                model_cfg.get("fused_ffn_block_dw", False)
+            ),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
         )
         if not self.model_config.do_stable_layer_norm and (
@@ -461,6 +465,9 @@ class WhisperSetup:
             # Whole-FFN block VJP: whisper-small 1374.5 -> 1384.1 audio-s/s
             # on the round-4 A/B — adopted.
             fused_ffn_block=bool(model_cfg.get("fused_ffn_block", True)),
+            fused_ffn_block_dw=bool(
+                model_cfg.get("fused_ffn_block_dw", False)
+            ),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)
         self.learning_rate = float(model_cfg.get("learning_rate", 1e-5))

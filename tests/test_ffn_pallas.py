@@ -522,6 +522,34 @@ def test_block_interpret_grads_match_xla():
         )
 
 
+def test_block_dw_in_kernel_grads_match_xla():
+    """dw_in_kernel=True (dW1/dW2 accumulated in VMEM-resident blocks
+    across the grid) must match the composed reference on all 7 grads,
+    including ragged last blocks feeding the accumulators."""
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(T=301, seed=14)
+
+    def loss(fn):
+        def inner(*a):
+            y = fn(*a)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got = jax.grad(
+        loss(lambda *a: ffn_ln_block(*a, interpret=True, dw_in_kernel=True)),
+        argnums=tuple(range(7)),
+    )(x, w1, b1, gamma, beta, w2, b2)
+    ref = jax.grad(loss(_block_ref), argnums=tuple(range(7)))(
+        x, w1, b1, gamma, beta, w2, b2
+    )
+    for g, r, name in zip(got, ref, "x w1 b1 gamma beta w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
 def test_block_noln_interpret_grads_match_xla():
     from coral_tpu.ops.ffn_pallas import _fc2, ffn_block
 

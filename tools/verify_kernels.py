@@ -405,6 +405,16 @@ def verify_ffn_fc1():
                             "db2"), gf, gr):
         check(f"block rate=0 backward {name}", a, bb, growth=3.0)
 
+    # dw_in_kernel variant: dW1/dW2 accumulate on-MXU in VMEM-resident
+    # blocks across the whole grid; all 7 grads vs the same reference.
+    fused_dw = jax.jit(lambda *a: ffn_ln_block(
+        *a, interpret=False, dw_in_kernel=True))
+    gf = jax.jit(jax.grad(loss(fused_dw), argnums=tuple(range(7))))(
+        x, w, b, gamma, beta, w2, b2)
+    for name, a, bb in zip(("dx", "dw1", "db1", "dgamma", "dbeta", "dw2",
+                            "db2"), gf, gr):
+        check(f"block_dw backward {name}", a, bb, growth=3.0)
+
     # Dropout mask re-seed parity between the block's FORWARD stream and the
     # g the BACKWARD emits for dW2: with loss = sum(y), dy == 1, so
     # dW2[f, :] = sum_{b,t} g_bwd[b, t, f]. The forward's g is exactly the
