@@ -64,6 +64,12 @@ _COMPILER_PARAMS = (
     else pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 )
 _HALO = 16     # halo fixup block sublanes (>= bf16 min tile)
+# Sub-blocks per grid step: with >1 the kernel phase-groups the work
+# (all conv matmuls first, then all LN+GELU epilogues), handing Mosaic's
+# scheduler independent MXU and VPU streams to dual-issue — the epilogue
+# of sub-block i can overlap the matmuls of sub-block i+1. 1 = the
+# round-3 single-phase body.
+_SPLIT = int(os.environ.get("CORAL_FE_SPLIT", "1"))
 
 
 def _deinterleave(x):
@@ -111,6 +117,13 @@ def _conv_rows(even, odd, even_next, w_ref, k: int):
     return acc
 
 
+def _sub_slices(n: int):
+    """Row sub-slices for the phase-grouped kernel bodies."""
+    splits = _SPLIT if _SPLIT > 1 and n % _SPLIT == 0 else 1
+    step = n // splits
+    return [slice(i * step, (i + 1) * step) for i in range(splits)]
+
+
 def _fwd_kernel(x_ref, halo_ref, w_ref, b_ref, g_ref, beta_ref,
                 y_ref, xhat_ref, rstd_ref, *, k: int, eps: float):
     even, odd = _deinterleave(x_ref[0])
@@ -120,25 +133,35 @@ def _fwd_kernel(x_ref, halo_ref, w_ref, b_ref, g_ref, beta_ref,
         even_next = jnp.concatenate([even[1:], halo_ref[0, 0]], axis=0)
     else:
         even_next = None
-    acc = _conv_rows(even, odd, even_next, w_ref, k)
-    acc = acc + b_ref[...].astype(jnp.float32)
+    bias = b_ref[...].astype(jnp.float32)
 
-    mu = jnp.mean(acc, axis=-1, keepdims=True)
-    cen = acc - mu
-    var = jnp.mean(cen * cen, axis=-1, keepdims=True)
-    rstd = jax.lax.rsqrt(var + eps)
-    # The saved LN residual is the PRE-affine normalised tensor: the backward
-    # then never divides by gamma (a zero/tiny LN scale channel would turn
-    # (h - beta)/gamma into NaN/Inf gradients where the XLA path stays
-    # finite), and h is one FMA away.
-    xhat = cen * rstd
-    h = xhat * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(
-        jnp.float32
-    )
-    y, _ = _gelu_parts(h)
-    y_ref[0] = y.astype(y_ref.dtype)
-    xhat_ref[0] = xhat.astype(xhat_ref.dtype)
-    rstd_ref[0] = rstd
+    # Phase 1: all conv matmuls (MXU). Phase 2: all LN+GELU epilogues
+    # (VPU). With _SPLIT > 1 the phases are independent across sub-blocks,
+    # so the scheduler can overlap sub-block i's epilogue with i+1's
+    # matmuls.
+    subs = _sub_slices(even.shape[0])
+    accs = [
+        _conv_rows(even[sl], odd[sl],
+                   even_next[sl] if k == 3 else None, w_ref, k) + bias
+        for sl in subs
+    ]
+    for sl, acc in zip(subs, accs):
+        mu = jnp.mean(acc, axis=-1, keepdims=True)
+        cen = acc - mu
+        var = jnp.mean(cen * cen, axis=-1, keepdims=True)
+        rstd = jax.lax.rsqrt(var + eps)
+        # The saved LN residual is the PRE-affine normalised tensor: the
+        # backward then never divides by gamma (a zero/tiny LN scale channel
+        # would turn (h - beta)/gamma into NaN/Inf gradients where the XLA
+        # path stays finite), and h is one FMA away.
+        xhat = cen * rstd
+        h = xhat * g_ref[...].astype(jnp.float32) + beta_ref[...].astype(
+            jnp.float32
+        )
+        y, _ = _gelu_parts(h)
+        y_ref[0, sl] = y.astype(y_ref.dtype)
+        xhat_ref[0, sl] = xhat.astype(xhat_ref.dtype)
+        rstd_ref[0, sl] = rstd
 
 
 def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, xhat_ref, rstd_ref,
@@ -162,34 +185,42 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, xhat_ref, rstd_ref,
     # including 0 * NaN products — must be masked to true zeros.
     row = t * dy.shape[0] + jax.lax.broadcasted_iota(jnp.int32, dy.shape, 0)
     mask = row < n_rows
-    xhat = jnp.where(mask, xhat_ref[0].astype(jnp.float32), 0.0)
-    rstd = jnp.where(mask[:, :1], rstd_ref[0], 0.0)
-    h = xhat * gamma + beta
 
-    # GELU backward: dh = dy * gelu'(h).
-    dh = dy * _dgelu(h)
-    dh = jnp.where(mask, dh, 0.0)
-
-    # LayerNorm backward (xhat saved pre-affine — no divide by gamma).
-    dvec_acc[0, :] += jnp.sum(dh * xhat, axis=0)   # dgamma
-    dvec_acc[1, :] += jnp.sum(dh, axis=0)          # dbeta
-    dn = dh * gamma
-    da = (
-        dn
-        - jnp.mean(dn, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dn * xhat, axis=-1, keepdims=True)
-    ) * rstd
-    dvec_acc[2, :] += jnp.sum(da, axis=0)          # dbias
+    # Phase 1 (VPU, per sub-block): GELU + LayerNorm backward -> da rows.
+    # Phase 2 (MXU, per sub-block below): the dx matmuls. With _SPLIT > 1
+    # sub-block i's matmuls are independent of i+1's VPU phase, giving the
+    # scheduler dual-issue opportunities.
+    da_subs = []
+    for sl in _sub_slices(dy.shape[0]):
+        m_s = mask[sl]
+        xhat_s = jnp.where(m_s, xhat_ref[0, sl].astype(jnp.float32), 0.0)
+        rstd_s = jnp.where(m_s[:, :1], rstd_ref[0, sl], 0.0)
+        h = xhat_s * gamma + beta
+        # GELU backward: dh = dy * gelu'(h).
+        dh = jnp.where(m_s, dy[sl] * _dgelu(h), 0.0)
+        # LayerNorm backward (xhat saved pre-affine — no divide by gamma).
+        dvec_acc[0, :] += jnp.sum(dh * xhat_s, axis=0)   # dgamma
+        dvec_acc[1, :] += jnp.sum(dh, axis=0)            # dbeta
+        dn = dh * gamma
+        da_s = (
+            dn
+            - jnp.mean(dn, axis=-1, keepdims=True)
+            - xhat_s * jnp.mean(dn * xhat_s, axis=-1, keepdims=True)
+        ) * rstd_s
+        dvec_acc[2, :] += jnp.sum(da_s, axis=0)          # dbias
+        da_subs.append(da_s.astype(x_ref.dtype))
 
     # conv dx: even rows get da @ W0^T (+ prev-row da @ W2^T for k=3),
     # odd rows get da @ W1^T.
-    dab = da.astype(x_ref.dtype)
     mmT = lambda a, i: jax.lax.dot_general(  # noqa: E731
         a, w_ref[i], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    d_even = mmT(dab, 0)
-    d_odd = mmT(dab, 1)
+    dab = jnp.concatenate(da_subs, axis=0) if len(da_subs) > 1 else da_subs[0]
+    d_even = (jnp.concatenate([mmT(a, 0) for a in da_subs], axis=0)
+              if len(da_subs) > 1 else mmT(dab, 0))
+    d_odd = (jnp.concatenate([mmT(a, 1) for a in da_subs], axis=0)
+             if len(da_subs) > 1 else mmT(dab, 1))
     if k == 3:
         dw2 = mmT(dab, 2)
         # row 2i+2 of dx gets da[i] @ W2^T: within the slab that lands on
