@@ -216,10 +216,14 @@ def main() -> None:
     #   + save_attn_ctx remat (attention fwd DCEs from the
     #     replay; the saved ctx fits alongside B=48)        905.3 / 906.5
     #   + attention_save_stats=v2 w/ save_attn_ctx_lse
-    #     (one-pass p rebuild off the saved lse)            910.7 (ADOPTED)
+    #     (one-pass p rebuild off the saved lse)            910.7
+    #   + save_qk_ctx (saved q/k projections too; replay =
+    #     LN + v/o matmuls only)                            918.8 (ADOPTED)
     # Rejected on the same session's A/Bs: o-residual bwd (864.1),
-    # save_matmul_inputs at B=48 (OOM, 18.2 vs 15.75 GB), fused_qkv_ln
-    # (821.2), FE_TB 512/128 (865.3/853.0), scan unroll=2 (880.6).
+    # save_matmul_inputs at B=48 (OOM, 18.2 vs 15.75 GB), save_qkv_ctx
+    # (OOM by 281 MB), fused_ffn_block_dw (856.7 — the 32 MB VMEM-resident
+    # dW accumulators squeeze the matmul pipeline), fused_qkv_ln (821.2),
+    # FE_TB 512/128 (865.3/853.0), scan unroll=2 (880.6).
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas",
         attention_save_stats="v2",
@@ -229,7 +233,7 @@ def main() -> None:
     model = Wav2Vec2ForCTC(
         config,
         gradient_checkpointing=True,
-        remat_policy="save_attn_ctx_lse",
+        remat_policy="save_qk_ctx",
         remat_feature_encoder=False,
     )
 

@@ -181,14 +181,14 @@ class Wav2Vec2Setup:
                 "(pre-LN, the XLS-R architecture); set fused_ffn_ln=false "
                 "and fused_qkv_ln=false for post-LN configs."
             )
-        # Default = save_attn_ctx_lse (round-4 A/Bs at B=48 with the FFN
-        # block: nothing_saveable 892.9 -> save_attn_ctx 905.3/906.5 ->
-        # + the v2 stats residual 910.7 — saving the ~49 MB/layer attention
-        # output and its ~1 MB lse DCEs the attention fwd kernel from the
-        # remat replay while keeping the one-pass p rebuild). Behaves
-        # exactly like save_attn_ctx when the stats variant is off;
-        # memory-tighter configs opt out with remat_policy=nothing_saveable.
-        remat_policy = config.get("remat_policy", "save_attn_ctx_lse")
+        # Default = save_qk_ctx (round-4 A/Bs at B=48 with the FFN block:
+        # nothing_saveable 892.9 -> save_attn_ctx 905.3/906.5 -> + the v2
+        # stats residual (save_attn_ctx_lse) 910.7 -> + saved q/k
+        # projections 918.8 — the remat replay then carries only the LN +
+        # v/o projection matmuls; q, k, ctx and the ~1 MB lse come from
+        # storage. ~3.6 GB of saved residuals at B=48 x 10 s; memory-
+        # tighter configs opt out with save_attn_ctx_lse/nothing_saveable.
+        remat_policy = config.get("remat_policy", "save_qk_ctx")
         if remat_policy == "save_ctx_act" and not self.model_config.fused_ffn:
             # save_ctx_act saves "ffn_act", emitted only on the fused-FFN
             # path (the unfused path names "ffn_hidden"); without fused_ffn

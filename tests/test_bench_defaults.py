@@ -66,9 +66,9 @@ def test_default_model_config_matches_bench(setup) -> None:
 
 
 def test_default_trainer_flags_match_bench(setup) -> None:
-    # bench.py: remat_policy="save_attn_ctx_lse", remat_feature_encoder=False,
+    # bench.py: remat_policy="save_qk_ctx", remat_feature_encoder=False,
     # grad_dtype="bfloat16", mu_dtype="bfloat16".
-    assert setup.model.remat_policy == "save_attn_ctx_lse"
+    assert setup.model.remat_policy == "save_qk_ctx"
     assert setup.model.remat_feature_encoder is False
     assert setup.config.get("grad_dtype", "bfloat16") == "bfloat16"
     assert setup.config.get("adam_mu_dtype", "bfloat16") == "bfloat16"
