@@ -30,12 +30,19 @@ Intended for T up to ~1024; above that a blocked flash kernel wins.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+# One-ahead software pipelining of the per-head loops in the stats kernels:
+# head h+1's score matmul (MXU) is issued before head h's softmax/ds phase
+# (VPU), giving Mosaic's scheduler adjacent independent MXU and VPU work.
+# 0 = the sequential round-3 ordering.
+_ATTN_PIPE = int(os.environ.get("CORAL_ATTN_PIPE", "0"))
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale: float,
@@ -126,14 +133,26 @@ def _fwd_kernel_stats_v2(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     bias = bias_ref[0]  # (1, T), broadcasts over query rows
     n_heads = q_ref.shape[2] // head_dim
     lse_rows = []
-    for h in range(n_heads):
+
+    def _load(h):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
         k = k_ref[0, :, lanes]
-        v = v_ref[0, :, lanes]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )
+        return lanes, q, s
+
+    cur = _load(0) if _ATTN_PIPE else None
+    for h in range(n_heads):
+        if _ATTN_PIPE:
+            # One-ahead pipeline (see _ATTN_PIPE): the next head's score
+            # matmul is independent of this head's softmax phase.
+            nxt = _load(h + 1) if h + 1 < n_heads else None
+            lanes, q, s = cur
+        else:
+            lanes, q, s = _load(h)
+        v = v_ref[0, :, lanes]
         s = s + bias
         m = jnp.max(s, axis=1, keepdims=True)   # (T, 1)
         e = jnp.exp(s - m)
@@ -147,6 +166,8 @@ def _fwd_kernel_stats_v2(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
         # masked row must yield p = 0 in the backward, not p = 1.
         lse_col = jnp.maximum(m + jnp.log(l), -1e25)  # (T, 1)
         lse_rows.append(lse_col.reshape(1, -1))       # (1, T) relayout
+        if _ATTN_PIPE:
+            cur = nxt
     lse_ref[0] = jnp.concatenate(lse_rows, axis=0)
 
 
@@ -162,17 +183,29 @@ def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
     contraction dims swapped accordingly."""
     bias_c = bias_ref[0]  # (T, 1)
     n_heads = q_ref.shape[2] // head_dim
-    for h in range(n_heads):
+
+    def _load(h):
         lanes = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
         k = k_ref[0, :, lanes]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tk, Tq)
+        return lanes, q, k, st
+
+    cur = _load(0) if _ATTN_PIPE else None
+    for h in range(n_heads):
+        if _ATTN_PIPE:
+            # One-ahead pipeline: the NEXT head's score matmul is emitted
+            # before this head's VPU phase (independent work for dual-issue).
+            nxt = _load(h + 1) if h + 1 < n_heads else None
+            lanes, q, k, st = cur
+        else:
+            lanes, q, k, st = _load(h)
         v = v_ref[0, :, lanes]
         do = do_ref[0, :, lanes]
         lse = lse_ref[0, h:h + 1, :]  # (1, Tq) row
 
-        st = jax.lax.dot_general(
-            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (Tk, Tq)
         p = jnp.exp(st + bias_c - lse)
 
         pb = p.astype(q.dtype)
@@ -197,6 +230,8 @@ def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
         dq_ref[0, :, lanes] = dq.astype(dq_ref.dtype)
         dk_ref[0, :, lanes] = dk.astype(dk_ref.dtype)
         dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
+        if _ATTN_PIPE:
+            cur = nxt
 
 
 def _bwd_kernel_ctx(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
