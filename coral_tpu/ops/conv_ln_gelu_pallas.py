@@ -68,8 +68,12 @@ _HALO = 16     # halo fixup block sublanes (>= bf16 min tile)
 # (all conv matmuls first, then all LN+GELU epilogues), handing Mosaic's
 # scheduler independent MXU and VPU streams to dual-issue — the epilogue
 # of sub-block i can overlap the matmuls of sub-block i+1. 1 = the
-# round-3 single-phase body.
+# round-3 single-phase body. CORAL_FE_SPLIT_WHERE bisects a lowering
+# failure: "both" (default) | "fwd" | "bwd".
 _SPLIT = int(os.environ.get("CORAL_FE_SPLIT", "1"))
+_SPLIT_WHERE = os.environ.get("CORAL_FE_SPLIT_WHERE", "both")
+_SPLIT_FWD = _SPLIT if _SPLIT_WHERE in ("both", "fwd") else 1
+_SPLIT_BWD = _SPLIT if _SPLIT_WHERE in ("both", "bwd") else 1
 
 
 def _deinterleave(x):
@@ -117,9 +121,9 @@ def _conv_rows(even, odd, even_next, w_ref, k: int):
     return acc
 
 
-def _sub_slices(n: int):
+def _sub_slices(n: int, split: int):
     """Row sub-slices for the phase-grouped kernel bodies."""
-    splits = _SPLIT if _SPLIT > 1 and n % _SPLIT == 0 else 1
+    splits = split if split > 1 and n % split == 0 else 1
     step = n // splits
     return [slice(i * step, (i + 1) * step) for i in range(splits)]
 
@@ -139,7 +143,7 @@ def _fwd_kernel(x_ref, halo_ref, w_ref, b_ref, g_ref, beta_ref,
     # (VPU). With _SPLIT > 1 the phases are independent across sub-blocks,
     # so the scheduler can overlap sub-block i's epilogue with i+1's
     # matmuls.
-    subs = _sub_slices(even.shape[0])
+    subs = _sub_slices(even.shape[0], _SPLIT_FWD)
     accs = [
         _conv_rows(even[sl], odd[sl],
                    even_next[sl] if k == 3 else None, w_ref, k) + bias
@@ -191,7 +195,7 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, xhat_ref, rstd_ref,
     # sub-block i's matmuls are independent of i+1's VPU phase, giving the
     # scheduler dual-issue opportunities.
     da_subs = []
-    for sl in _sub_slices(dy.shape[0]):
+    for sl in _sub_slices(dy.shape[0], _SPLIT_BWD):
         m_s = mask[sl]
         xhat_s = jnp.where(m_s, xhat_ref[0, sl].astype(jnp.float32), 0.0)
         rstd_s = jnp.where(m_s[:, :1], rstd_ref[0, sl], 0.0)
