@@ -116,6 +116,9 @@ class Wav2Vec2Config:
     # With fused_ffn_block: accumulate dW1/dW2 on-MXU inside the backward
     # kernel (VMEM-resident fp32 blocks; g/dh/ln_out never return to HBM).
     fused_ffn_block_dw: bool = False
+    # With fused_ffn_block: fold fc2 into the forward kernel too (g never
+    # touches HBM in the forward; backward unchanged).
+    fused_ffn_block_fc2: bool = False
     # Fold the pre-attention LayerNorm into a packed QKV projection kernel
     # (ops/ffn_pallas.py ln_dense): one (D, 3D) matmul with the LN computed
     # in-register, removing the separate LN kernels and the normalised
@@ -581,6 +584,7 @@ class FeedForward(nn.Module):
                     x, kernel1, bias1, gamma, beta, kernel2, bias2, rate,
                     rng, eps=cfg.layer_norm_eps,
                     dw_in_kernel=cfg.fused_ffn_block_dw,
+                    fc2_in_kernel=cfg.fused_ffn_block_fc2,
                 )
             else:
                 x = ffn_block(x, kernel1, bias1, kernel2, bias2, rate, rng)

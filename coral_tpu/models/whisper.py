@@ -91,6 +91,8 @@ class WhisperConfig:
     # With fused_ffn_block: accumulate dW1/dW2 on-MXU inside the backward
     # kernel (VMEM-resident fp32 blocks).
     fused_ffn_block_dw: bool = False
+    # With fused_ffn_block: fold fc2 into the forward kernel too.
+    fused_ffn_block_fc2: bool = False
     # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
     remat_policy: str = "save_matmul_inputs"
 
@@ -376,6 +378,7 @@ def _ffn_full(lp: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
             lp["fc2"]["kernel"], lp["fc2"]["bias"],
             act_drop, lrng if act_drop > 0.0 else None,
             dw_in_kernel=getattr(config, "fused_ffn_block_dw", False),
+            fc2_in_kernel=getattr(config, "fused_ffn_block_fc2", False),
         )
     h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
     return _dense(lp["fc2"], h, dtype)

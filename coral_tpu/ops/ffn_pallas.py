@@ -396,6 +396,40 @@ def _bwd_kernel_ln_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref,
                      db_acc, dvec_acc, n_rows=n_rows)
 
 
+def _fwd_kernel_ln_fc2(x_ref, w_ref, b_ref, g_ref, bt_ref, w2_ref, b2_ref,
+                       y_ref, *, eps: float):
+    """Whole-FFN forward in one kernel: LN + fc1 + GELU + fc2. The 4x-wide
+    activation g exists only as a VMEM block — with the block VJP (whose
+    backward recomputes g itself) it never touches HBM in the forward at
+    all. The g -> bf16 cast before the fc2 matmul matches the composed
+    path's rounding exactly (there g round-trips HBM in bf16)."""
+    acc, _, _, _ = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, _ = _epilogue(acc, b_ref)
+    y = jax.lax.dot_general(
+        g.astype(x_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
+def _fwd_kernel_ln_fc2_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref,
+                            w2_ref, b2_ref, y_ref, *, threshold: int,
+                            scale: float, eps: float):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    acc, _, _, _ = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, _ = _epilogue(acc, b_ref)
+    bits = pltpu.prng_random_bits(g.shape)
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    g = jnp.where(keep, g * scale, 0.0)
+    y = jax.lax.dot_general(
+        g.astype(x_ref.dtype), w2_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b2_ref[...].astype(jnp.float32)
+    y_ref[0] = y.astype(y_ref.dtype)
+
+
 def _fwd_kernel_lnmm(x_ref, w_ref, b_ref, g_ref, bt_ref, o_ref, *,
                      eps: float):
     """LN + matmul + bias, no activation: the pre-attention LayerNorm folded
@@ -757,6 +791,93 @@ def _bwd_pallas_ln(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
         compiler_params=None if interpret else _COMPILER_PARAMS,
     )(*args)
     return dh, dx, ln_out, jnp.squeeze(db, axis=1), dvec
+
+
+def _fwd_pallas_ln_fc2(x, w, b, gamma, beta, w2, b2, seeds, rate, eps,
+                       interpret):
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, _ = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    w2_spec = pl.BlockSpec((F, D), lambda b, t: (0, 0))
+    y_spec = pl.BlockSpec((1, _TM, D), lambda b, t: (b, t, 0))
+    in_specs = [x_spec, w_spec, b_spec, d_spec, d_spec, w2_spec, d_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _fwd_kernel_ln_fc2_drop, threshold=threshold, scale=scale,
+            eps=eps,
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b, gamma, beta, w2, b2)
+    else:
+        kernel = functools.partial(_fwd_kernel_ln_fc2, eps=eps)
+        args = (x, w, b, gamma, beta, w2, b2)
+    return pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=y_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_ln_fc2_cp(rate, eps, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, g, bt, w2, b2: _fwd_pallas_ln_fc2(  # noqa: E731
+            x, w, b, g, bt, w2, b2, seeds, rate, eps, interpret
+        )
+        rule = "b, b t d, d f, f, d, d, f e, e -> b t e"
+    else:
+        fn = lambda x, w, b, g, bt, w2, b2: _fwd_pallas_ln_fc2(  # noqa: E731
+            x, w, b, g, bt, w2, b2, None, rate, eps, interpret
+        )
+        rule = "b t d, d f, f, d, d, f e, e -> b t e"
+    f = custom_partitioning(fn)
+
+    def args_xw(arg_infos):
+        return (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        batch = _spec_dim(args_xw(arg_infos)[0].sharding, 0)
+        return NamedSharding(mesh, P(batch, None, None))
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = args_xw(arg_infos)
+        batch = _spec_dim(xi.sharding, 0)
+        col = _spec_dim(wi.sharding, 1)
+        out_sh = NamedSharding(mesh, P(batch, None, None))
+        arg_sh = _shardings(mesh, xi, wi, with_seeds)[1]
+        rep_d = NamedSharding(mesh, P(None))
+        w2_sh = NamedSharding(mesh, P(col, None))
+
+        def lower(*a):
+            if col is None:
+                return fn(*a)
+            # Column-sharded W1 / row-sharded W2 (TP): each shard's fc2
+            # contracts only its local F slice — y is a partial sum, and b2
+            # must be added once AFTER the psum (not once per shard).
+            *head, b2 = a
+            y = fn(*head, jnp.zeros_like(b2))
+            y = jax.lax.psum(y, col)
+            return (y.astype(jnp.float32) + b2.astype(jnp.float32)).astype(
+                y.dtype
+            )
+
+        return mesh, lower, out_sh, arg_sh + (rep_d, rep_d, w2_sh, rep_d)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
 
 
 def _fwd_pallas_lnmm(x, w, b, gamma, beta, eps, interpret):
@@ -1458,6 +1579,30 @@ _ffn_ln_block.defvjp(_ffn_ln_block_fwd, _ffn_ln_block_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _ffn_ln_block_fc2(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                      interpret):
+    """The block with fc2 folded into the FORWARD kernel too (g never
+    touches HBM in the forward); backward identical to _ffn_ln_block."""
+    if rate > 0.0:
+        return _fwd_ln_fc2_cp(rate, eps, interpret, True)(
+            seeds, x, w1, b1, gamma, beta, w2, b2
+        )
+    return _fwd_ln_fc2_cp(rate, eps, interpret, False)(
+        x, w1, b1, gamma, beta, w2, b2
+    )
+
+
+def _ffn_ln_block_fc2_fwd(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                          interpret):
+    y = _ffn_ln_block_fc2(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                          interpret)
+    return y, (x, w1, b1, gamma, beta, w2, seeds)
+
+
+_ffn_ln_block_fc2.defvjp(_ffn_ln_block_fc2_fwd, _ffn_ln_block_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _ffn_ln_block_dw(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
                      interpret):
     if rate > 0.0:
@@ -1730,6 +1875,7 @@ def ffn_ln_block(
     eps: float = 1e-5,
     interpret: bool | None = None,
     dw_in_kernel: bool = False,
+    fc2_in_kernel: bool = False,
 ) -> jnp.ndarray:
     """The whole pre-LN FFN as ONE differentiable block:
     ``dropout(gelu(layer_norm(x) @ w1 + b1), rate) @ w2 + b2``.
@@ -1758,7 +1904,11 @@ def ffn_ln_block(
         dw_in_kernel: accumulate dW1/dW2 on-MXU into VMEM-resident fp32
             blocks inside the backward kernel (4 in-kernel matmuls; only
             dg = dy @ W2^T stays outside) — g/dh/ln_out never return to
-            HBM. False = emit them for outside XLA dW matmuls.
+            HBM. False = emit them for outside XLA dW matmuls. (Measured
+            slower on v5e: the 32 MB accumulators squeeze the pipeline.)
+        fc2_in_kernel: fold fc2 into the FORWARD kernel too, so g never
+            touches HBM in the forward (the backward recomputes it anyway
+            and is unchanged). Identical rounding to the composed path.
 
     Returns:
         (B, T, D) FFN output in ``x.dtype`` (residual add stays outside).
@@ -1770,7 +1920,12 @@ def ffn_ln_block(
     if (interpret and rate > 0.0) or D % 128 != 0 or F % 128 != 0:
         g = _xla_reference_ln(x, w1, b1, gamma, beta, rate, rng, eps)
         return _fc2(g, w2, b2)
-    fn = _ffn_ln_block_dw if dw_in_kernel else _ffn_ln_block
+    if dw_in_kernel:
+        fn = _ffn_ln_block_dw
+    elif fc2_in_kernel:
+        fn = _ffn_ln_block_fc2
+    else:
+        fn = _ffn_ln_block
     return fn(
         x, w1.astype(x.dtype), b1, gamma, beta, w2.astype(x.dtype), b2,
         _block_seeds(x, rate, rng), float(rate), float(eps), interpret,

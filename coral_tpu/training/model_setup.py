@@ -164,9 +164,14 @@ class Wav2Vec2Setup:
             # remat replay DCEs the FFN forward): 892.9 vs 871.1 audio-s/s
             # at B=48 on the round-4 A/B — adopted.
             fused_ffn_block=bool(model_cfg.get("fused_ffn_block", True)),
-            # In-kernel dW accumulation; default off until the hardware A/B.
+            # In-kernel dW accumulation; measured slower, default off.
             fused_ffn_block_dw=bool(
                 model_cfg.get("fused_ffn_block_dw", False)
+            ),
+            # fc2 folded into the block's forward kernel; default off until
+            # the hardware A/B.
+            fused_ffn_block_fc2=bool(
+                model_cfg.get("fused_ffn_block_fc2", False)
             ),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
         )
@@ -467,6 +472,9 @@ class WhisperSetup:
             fused_ffn_block=bool(model_cfg.get("fused_ffn_block", True)),
             fused_ffn_block_dw=bool(
                 model_cfg.get("fused_ffn_block_dw", False)
+            ),
+            fused_ffn_block_fc2=bool(
+                model_cfg.get("fused_ffn_block_fc2", False)
             ),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)

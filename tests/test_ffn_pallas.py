@@ -656,3 +656,59 @@ def test_block_tensor_parallel_grads_match_single_device():
             np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
             err_msg=f"d{name}",
         )
+
+
+def test_block_fc2_in_kernel_matches_composed():
+    """fc2_in_kernel=True (the whole FFN forward as one kernel) must match
+    the composed reference bit-for-bit in spirit: same bf16 g cast before
+    the fc2 matmul, and all 7 grads through the shared block backward."""
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(T=301, seed=15)
+    got = ffn_ln_block(x, w1, b1, gamma, beta, w2, b2, interpret=True,
+                       fc2_in_kernel=True)
+    ref = _block_ref(x, w1, b1, gamma, beta, w2, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    def loss(fn):
+        def inner(*a):
+            y = fn(*a)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got_g = jax.grad(
+        loss(lambda *a: ffn_ln_block(*a, interpret=True,
+                                     fc2_in_kernel=True)),
+        argnums=tuple(range(7)),
+    )(x, w1, b1, gamma, beta, w2, b2)
+    ref_g = jax.grad(loss(_block_ref), argnums=tuple(range(7)))(
+        x, w1, b1, gamma, beta, w2, b2
+    )
+    for g, r, name in zip(got_g, ref_g, "x w1 b1 gamma beta w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
+
+
+def test_block_fc2_tensor_parallel_matches_single_device():
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(B=4, T=70, seed=16)
+
+    def fwd(x, w1, b1, gamma, beta, w2, b2):
+        return ffn_ln_block(x, w1, b1, gamma, beta, w2, b2, interpret=True,
+                            fc2_in_kernel=True)
+
+    ref = fwd(x, w1, b1, gamma, beta, w2, b2)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    w1s = jax.device_put(w1, NamedSharding(mesh, P(None, "model")))
+    b1s = jax.device_put(b1, NamedSharding(mesh, P("model")))
+    w2s = jax.device_put(w2, NamedSharding(mesh, P("model", None)))
+    with mesh:
+        got = jax.jit(fwd)(x, w1s, b1s, gamma, beta, w2s, b2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)

@@ -42,6 +42,9 @@ def main() -> None:
                         "(ops/ffn_pallas.py)")
     p.add_argument("--ffn-block", action="store_true",
                    help="whole-FFN block VJP (implies --fused-ffn-ln)")
+    p.add_argument("--ffn-block-fc2", action="store_true",
+                   help="fold fc2 into the block's forward kernel "
+                        "(implies --ffn-block)")
     p.add_argument("--fused-ffn-ln", action="store_true",
                    help="additionally fold the pre-FFN LayerNorm into the "
                         "fused kernel (implies --fused-ffn)")
@@ -59,9 +62,11 @@ def main() -> None:
         kw["remat_policy"] = args.remat
     cfg = getattr(WhisperConfig, args.arch)(
         dtype=jnp.bfloat16, ln_impl=args.ln,
-        fused_ffn=args.fused_ffn or args.fused_ffn_ln or args.ffn_block,
-        fused_ffn_ln=args.fused_ffn_ln or args.ffn_block,
-        fused_ffn_block=args.ffn_block, **kw
+        fused_ffn=(args.fused_ffn or args.fused_ffn_ln or args.ffn_block
+                   or args.ffn_block_fc2),
+        fused_ffn_ln=args.fused_ffn_ln or args.ffn_block or args.ffn_block_fc2,
+        fused_ffn_block=args.ffn_block or args.ffn_block_fc2,
+        fused_ffn_block_fc2=args.ffn_block_fc2, **kw
     )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     tx, schedule = create_optimizer(
@@ -120,9 +125,11 @@ def main() -> None:
         "batch": B,
         "ln": args.ln,
         "grad_dtype": args.grad_dtype,
-        "fused_ffn": args.fused_ffn or args.fused_ffn_ln or args.ffn_block,
-        "fused_ffn_ln": args.fused_ffn_ln or args.ffn_block,
-        "ffn_block": args.ffn_block,
+        "fused_ffn": (args.fused_ffn or args.fused_ffn_ln or args.ffn_block
+                      or args.ffn_block_fc2),
+        "fused_ffn_ln": args.fused_ffn_ln or args.ffn_block or args.ffn_block_fc2,
+        "ffn_block": args.ffn_block or args.ffn_block_fc2,
+        "ffn_block_fc2": args.ffn_block_fc2,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(audio_seconds / elapsed, 2),
     }))

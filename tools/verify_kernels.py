@@ -405,6 +405,18 @@ def verify_ffn_fc1():
                             "db2"), gf, gr):
         check(f"block rate=0 backward {name}", a, bb, growth=3.0)
 
+    # fc2-in-kernel forward: the whole FFN forward as one kernel (g never
+    # touches HBM); same bf16 g cast as the composed path.
+    fused_fc2 = jax.jit(lambda *a: ffn_ln_block(
+        *a, interpret=False, fc2_in_kernel=True))
+    check("block_fc2 forward", fused_fc2(x, w, b, gamma, beta, w2, b2),
+          plain_blk(x, w, b, gamma, beta, w2, b2), growth=3.0)
+    gf = jax.jit(jax.grad(loss(fused_fc2), argnums=tuple(range(7))))(
+        x, w, b, gamma, beta, w2, b2)
+    for name, a, bb in zip(("dx", "dw1", "db1", "dgamma", "dbeta", "dw2",
+                            "db2"), gf, gr):
+        check(f"block_fc2 backward {name}", a, bb, growth=3.0)
+
     # dw_in_kernel variant: dW1/dW2 accumulate on-MXU in VMEM-resident
     # blocks across the whole grid; all 7 grads vs the same reference.
     fused_dw = jax.jit(lambda *a: ffn_ln_block(
