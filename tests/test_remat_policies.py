@@ -84,3 +84,58 @@ def test_all_policies_match_nothing_saveable(tiny_setup):
                 np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-5,
                 err_msg=f"{policy}: d{jax.tree_util.keystr(p0)}",
             )
+
+
+def test_whisper_policies_match_nothing_saveable():
+    """Same guard for the whisper layer scans (REMAT_POLICIES there)."""
+    import dataclasses
+
+    from coral_tpu.models.whisper import (
+        REMAT_POLICIES,
+        WhisperConfig,
+        forward,
+        init_whisper_params,
+    )
+
+    cfg = WhisperConfig.tiny_test(
+        vocab_size=64, max_source_positions=100,
+        fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
+        activation_dropout=0.0, apply_spec_augment=False,
+    )
+    params = init_whisper_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(5)
+    mel = jnp.asarray(
+        rng.standard_normal((2, 200, cfg.num_mel_bins)), jnp.float32
+    )
+    ids = jnp.asarray(rng.integers(0, 64, size=(2, 9)), jnp.int32)
+
+    def make_loss(policy):
+        c = dataclasses.replace(cfg, remat_policy=policy)
+
+        def loss(p):
+            logits = forward(p, c, mel, ids, deterministic=True,
+                             gradient_checkpointing=True)
+            return jnp.sum(logits.astype(jnp.float32) ** 2)
+
+        return loss
+
+    ref_val, ref_grad = jax.value_and_grad(
+        make_loss("nothing_saveable"))(params)
+    assert np.isfinite(float(ref_val))
+    for policy in REMAT_POLICIES:
+        if policy == "nothing_saveable":
+            continue
+        val, grad = jax.value_and_grad(make_loss(policy))(params)
+        np.testing.assert_allclose(
+            float(val), float(ref_val), rtol=1e-6,
+            err_msg=f"whisper loss mismatch under remat_policy={policy}",
+        )
+        for (p0, g0), (p1, g1) in zip(
+            jax.tree_util.tree_leaves_with_path(ref_grad),
+            jax.tree_util.tree_leaves_with_path(grad),
+        ):
+            assert p0 == p1
+            np.testing.assert_allclose(
+                np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-5,
+                err_msg=f"whisper {policy}: d{jax.tree_util.keystr(p0)}",
+            )
