@@ -119,6 +119,9 @@ class Wav2Vec2Config:
     # With fused_ffn_block: fold fc2 into the forward kernel too (g never
     # touches HBM in the forward; backward unchanged).
     fused_ffn_block_fc2: bool = False
+    # With fused_ffn_block: compute dg = dy @ W2^T inside the backward
+    # kernel (reads dy, 49 MB/layer, instead of dg, 196 MB).
+    fused_ffn_block_dg: bool = False
     # Fold the pre-attention LayerNorm into a packed QKV projection kernel
     # (ops/ffn_pallas.py ln_dense): one (D, 3D) matmul with the LN computed
     # in-register, removing the separate LN kernels and the normalised
@@ -585,6 +588,7 @@ class FeedForward(nn.Module):
                     rng, eps=cfg.layer_norm_eps,
                     dw_in_kernel=cfg.fused_ffn_block_dw,
                     fc2_in_kernel=cfg.fused_ffn_block_fc2,
+                    dg_in_kernel=cfg.fused_ffn_block_dg,
                 )
             else:
                 x = ffn_block(x, kernel1, bias1, kernel2, bias2, rate, rng)

@@ -93,6 +93,9 @@ class WhisperConfig:
     fused_ffn_block_dw: bool = False
     # With fused_ffn_block: fold fc2 into the forward kernel too.
     fused_ffn_block_fc2: bool = False
+    # With fused_ffn_block: compute dg = dy @ W2^T inside the backward
+    # kernel.
+    fused_ffn_block_dg: bool = False
     # Layer-scan remat policy under gradient checkpointing (REMAT_POLICIES).
     remat_policy: str = "save_matmul_inputs"
 
@@ -379,6 +382,7 @@ def _ffn_full(lp: dict, x: jnp.ndarray, dtype, act_drop: float, lrng,
             act_drop, lrng if act_drop > 0.0 else None,
             dw_in_kernel=getattr(config, "fused_ffn_block_dw", False),
             fc2_in_kernel=getattr(config, "fused_ffn_block_fc2", False),
+            dg_in_kernel=getattr(config, "fused_ffn_block_dg", False),
         )
     h = _ffn_block(lp, x, dtype, act_drop, lrng, config)
     return _dense(lp["fc2"], h, dtype)

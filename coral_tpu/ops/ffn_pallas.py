@@ -353,6 +353,48 @@ def _bwd_kernel_ln_dw(x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref, dg_ref,
         dvec_ref[0] = dvec_acc[...]
 
 
+def _bwd_kernel_ln_g_dg(x_ref, w_ref, b_ref, g_ref, bt_ref, dy_ref, w2_ref,
+                        dh_ref, gout_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                        db_acc, dvec_acc, *, eps: float, n_rows: int):
+    """_bwd_kernel_ln_g with the fc2 cotangent computed IN-KERNEL:
+    dg = dy @ W2^T reads the 49 MB dy block instead of the 196 MB dg one
+    (the block backward is partly DMA-bound; this removes dg's HBM write
+    outside + its read here)."""
+    acc, ln_b, xhat, rstd = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, h = _epilogue(acc, b_ref)
+    gout_ref[0] = g.astype(gout_ref.dtype)
+    dg = jax.lax.dot_general(
+        dy_ref[0], w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    _bwd_ln_epilogue(dg * _dgelu(h), ln_b, xhat, rstd, w_ref, g_ref,
+                     dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, n_rows=n_rows)
+
+
+def _bwd_kernel_ln_g_dg_drop(seed_ref, x_ref, w_ref, b_ref, g_ref, bt_ref,
+                             dy_ref, w2_ref, dh_ref, gout_ref, dx_ref,
+                             ln_ref, db_ref, dvec_ref, db_acc, dvec_acc, *,
+                             threshold: int, scale: float, eps: float,
+                             n_rows: int):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    pltpu.prng_seed(seed_ref[b], t)
+    bits = pltpu.prng_random_bits(dh_ref.shape[1:])
+    keep = bits.astype(jnp.uint32) >= jnp.uint32(threshold)
+    acc, ln_b, xhat, rstd = _ln_matmul(x_ref, w_ref, g_ref, bt_ref, eps)
+    g, h = _epilogue(acc, b_ref)
+    gout_ref[0] = jnp.where(keep, g * scale, 0.0).astype(gout_ref.dtype)
+    dg = jax.lax.dot_general(
+        dy_ref[0], w2_ref[...], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dh = jnp.where(keep, dg * scale * _dgelu(h), 0.0)
+    _bwd_ln_epilogue(dh, ln_b, xhat, rstd, w_ref, g_ref,
+                     dh_ref, dx_ref, ln_ref, db_ref, dvec_ref,
+                     db_acc, dvec_acc, n_rows=n_rows)
+
+
 def _bwd_kernel_g(x_ref, w_ref, b_ref, dy_ref, dh_ref, gout_ref, dx_ref,
                   db_ref, db_acc, *, n_rows: int):
     """Plain (no-LN) backward that additionally emits ``g``."""
@@ -627,6 +669,61 @@ def _bwd_pallas_ln_g(x, w, b, gamma, beta, dy, seeds, rate, eps, interpret):
     else:
         kernel = functools.partial(_bwd_kernel_ln_g, eps=eps, n_rows=T)
         args = (x, w, b, gamma, beta, dy)
+    dh, g, dx, ln_out, db, dvec = pl.pallas_call(
+        kernel,
+        grid=(B, pl.cdiv(T, _TM)),
+        in_specs=in_specs,
+        out_specs=[
+            out_spec,
+            out_spec,
+            x_spec,
+            x_spec,
+            # (1, 1, F) over (B, 1, F): see the Mosaic block-rule note in
+            # _bwd_pallas.
+            pl.BlockSpec((1, 1, F), lambda b, t: (b, 0, 0)),
+            pl.BlockSpec((1, 2, D), lambda b, t: (b, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),   # dh
+            jax.ShapeDtypeStruct((B, T, F), x.dtype),   # g
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),   # dx
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),   # ln_out
+            jax.ShapeDtypeStruct((B, 1, F), jnp.float32),  # db rows
+            jax.ShapeDtypeStruct((B, 2, D), jnp.float32),  # dgamma/dbeta rows
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, F), jnp.float32),
+            pltpu.VMEM((2, D), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=None if interpret else _COMPILER_PARAMS,
+    )(*args)
+    return dh, g, dx, ln_out, jnp.squeeze(db, axis=1), dvec
+
+
+def _bwd_pallas_ln_g_dg(x, w, b, gamma, beta, dy, w2, seeds, rate, eps,
+                        interpret):
+    """Like ``_bwd_pallas_ln_g`` but with dg computed in-kernel from
+    (dy, W2): (dh, g, dx, ln_out, db_rows, dvec_rows)."""
+    B, T, D = x.shape
+    F = w.shape[1]
+    x_spec, w_spec, b_spec, out_spec = _specs(D, F)
+    d_spec = pl.BlockSpec((D,), lambda b, t: (0,))
+    dy_spec = pl.BlockSpec((1, _TM, D), lambda b, t: (b, t, 0))
+    w2_spec = pl.BlockSpec((F, D), lambda b, t: (0, 0))
+    in_specs = [x_spec, w_spec, b_spec, d_spec, d_spec, dy_spec, w2_spec]
+    if rate > 0.0:
+        threshold = int(round(rate * 2**32))
+        scale = 1.0 / (1.0 - rate)
+        kernel = functools.partial(
+            _bwd_kernel_ln_g_dg_drop, threshold=threshold, scale=scale,
+            eps=eps, n_rows=T,
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + in_specs
+        args = (seeds, x, w, b, gamma, beta, dy, w2)
+    else:
+        kernel = functools.partial(_bwd_kernel_ln_g_dg, eps=eps, n_rows=T)
+        args = (x, w, b, gamma, beta, dy, w2)
     dh, g, dx, ln_out, db, dvec = pl.pallas_call(
         kernel,
         grid=(B, pl.cdiv(T, _TM)),
@@ -1265,6 +1362,60 @@ def _bwd_ln_g_cp(rate, eps, interpret, with_seeds):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_ln_g_dg_cp(rate, eps, interpret, with_seeds):
+    if with_seeds:
+        fn = lambda seeds, x, w, b, g, bt, dy, w2: _bwd_pallas_ln_g_dg(  # noqa: E731
+            x, w, b, g, bt, dy, w2, seeds, rate, eps, interpret
+        )
+        rule = ("b, b t d, d f, f, d, d, b t d, f e -> "
+                "b t f, b t f, b t d, b t d, b f, b v d")
+    else:
+        fn = lambda x, w, b, g, bt, dy, w2: _bwd_pallas_ln_g_dg(  # noqa: E731
+            x, w, b, g, bt, dy, w2, None, rate, eps, interpret
+        )
+        rule = ("b t d, d f, f, d, d, b t d, f e -> "
+                "b t f, b t f, b t d, b t d, b f, b v d")
+    f = custom_partitioning(fn)
+
+    def args_xw(arg_infos):
+        return (arg_infos[1], arg_infos[2]) if with_seeds else (
+            arg_infos[0], arg_infos[1]
+        )
+
+    def infer(mesh, arg_infos, result_infos):
+        return _bwd_ln_g_shardings(mesh, *args_xw(arg_infos))
+
+    def partition(mesh, arg_infos, result_infos):
+        xi, wi = args_xw(arg_infos)
+        out_sh = _bwd_ln_g_shardings(mesh, xi, wi)
+        arg_sh = _shardings(mesh, xi, wi, with_seeds)[1]
+        rep_d = NamedSharding(mesh, P(None))
+        batch = _spec_dim(xi.sharding, 0)
+        col = _spec_dim(wi.sharding, 1)
+        dy_sh = NamedSharding(mesh, P(batch, None, None))
+        w2_sh = NamedSharding(mesh, P(col, None))
+
+        def lower(*a):
+            dh, g, dx, ln_out, db_rows, dvec_rows = fn(*a)
+            if col is not None:
+                # Column-sharded W1 (TP): dl = dh @ W1^T contracts only the
+                # local F slice, so dx and dgamma/dbeta are partial sums.
+                # (dg's own contraction is over the unsharded D.)
+                dx = jax.lax.psum(dx, col)
+                dvec_rows = jax.lax.psum(dvec_rows, col)
+            return dh, g, dx, ln_out, db_rows, dvec_rows
+
+        return mesh, lower, out_sh, arg_sh + (rep_d, rep_d, dy_sh, w2_sh)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=rule,
+    )
+    return f
+
+
 def _bwd_ln_dw_shardings(mesh, x_info, w_info):
     batch = _spec_dim(x_info.sharding, 0)
     col = _spec_dim(w_info.sharding, 1)
@@ -1579,6 +1730,56 @@ _ffn_ln_block.defvjp(_ffn_ln_block_fwd, _ffn_ln_block_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _ffn_ln_block_dg(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                     interpret):
+    """The block with the fc2 cotangent (dg = dy @ W2^T) computed inside
+    the backward kernel — same forward as _ffn_ln_block."""
+    if rate > 0.0:
+        g = _fwd_ln_cp(rate, eps, interpret, True)(
+            seeds, x, w1, b1, gamma, beta
+        )
+    else:
+        g = _fwd_ln_cp(rate, eps, interpret, False)(x, w1, b1, gamma, beta)
+    return _fc2(g, w2, b2)
+
+
+def _ffn_ln_block_dg_fwd(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                         interpret):
+    y = _ffn_ln_block_dg(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
+                         interpret)
+    return y, (x, w1, b1, gamma, beta, w2, seeds)
+
+
+def _ffn_ln_block_dg_bwd(rate, eps, interpret, res, dy):
+    x, w1, b1, gamma, beta, w2, seeds = res
+    dyb = dy.astype(x.dtype)
+    if rate > 0.0:
+        dh, g, dx, ln_out, db1_rows, dvec_rows = _bwd_ln_g_dg_cp(
+            rate, eps, interpret, True
+        )(seeds, x, w1, b1, gamma, beta, dyb, w2.astype(x.dtype))
+    else:
+        dh, g, dx, ln_out, db1_rows, dvec_rows = _bwd_ln_g_dg_cp(
+            rate, eps, interpret, False
+        )(x, w1, b1, gamma, beta, dyb, w2.astype(x.dtype))
+    dw1 = jax.lax.dot_general(
+        ln_out, dh, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w1.dtype)
+    db1 = jnp.sum(db1_rows, axis=0)
+    dvec = jnp.sum(dvec_rows, axis=0)
+    dw2 = jax.lax.dot_general(
+        g, dy, (((0, 1), (0, 1)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(w2.dtype)
+    db2 = jnp.sum(dy.astype(jnp.float32), axis=(0, 1))
+    return (dx, dw1, db1, dvec[0].astype(gamma.dtype),
+            dvec[1].astype(beta.dtype), dw2, db2, None)
+
+
+_ffn_ln_block_dg.defvjp(_ffn_ln_block_dg_fwd, _ffn_ln_block_dg_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def _ffn_ln_block_fc2(x, w1, b1, gamma, beta, w2, b2, seeds, rate, eps,
                       interpret):
     """The block with fc2 folded into the FORWARD kernel too (g never
@@ -1876,6 +2077,7 @@ def ffn_ln_block(
     interpret: bool | None = None,
     dw_in_kernel: bool = False,
     fc2_in_kernel: bool = False,
+    dg_in_kernel: bool = False,
 ) -> jnp.ndarray:
     """The whole pre-LN FFN as ONE differentiable block:
     ``dropout(gelu(layer_norm(x) @ w1 + b1), rate) @ w2 + b2``.
@@ -1909,6 +2111,10 @@ def ffn_ln_block(
         fc2_in_kernel: fold fc2 into the FORWARD kernel too, so g never
             touches HBM in the forward (the backward recomputes it anyway
             and is unchanged). Identical rounding to the composed path.
+            (Measured slower on v5e: the g round-trip overlaps DMA.)
+        dg_in_kernel: compute dg = dy @ W2^T inside the backward kernel —
+            it then reads the 49 MB/layer dy instead of the 196 MB dg, and
+            the outside dg matmul (with its 196 MB write) disappears.
 
     Returns:
         (B, T, D) FFN output in ``x.dtype`` (residual add stays outside).
@@ -1924,6 +2130,8 @@ def ffn_ln_block(
         fn = _ffn_ln_block_dw
     elif fc2_in_kernel:
         fn = _ffn_ln_block_fc2
+    elif dg_in_kernel:
+        fn = _ffn_ln_block_dg
     else:
         fn = _ffn_ln_block
     return fn(

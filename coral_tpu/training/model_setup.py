@@ -168,10 +168,15 @@ class Wav2Vec2Setup:
             fused_ffn_block_dw=bool(
                 model_cfg.get("fused_ffn_block_dw", False)
             ),
-            # fc2 folded into the block's forward kernel; default off until
-            # the hardware A/B.
+            # fc2 folded into the block's forward kernel; measured slower,
+            # default off.
             fused_ffn_block_fc2=bool(
                 model_cfg.get("fused_ffn_block_fc2", False)
+            ),
+            # dg computed inside the backward kernel; default off until the
+            # hardware A/B.
+            fused_ffn_block_dg=bool(
+                model_cfg.get("fused_ffn_block_dg", False)
             ),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
         )
@@ -475,6 +480,9 @@ class WhisperSetup:
             ),
             fused_ffn_block_fc2=bool(
                 model_cfg.get("fused_ffn_block_fc2", False)
+            ),
+            fused_ffn_block_dg=bool(
+                model_cfg.get("fused_ffn_block_dg", False)
             ),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)

@@ -712,3 +712,30 @@ def test_block_fc2_tensor_parallel_matches_single_device():
     with mesh:
         got = jax.jit(fwd)(x, w1s, b1s, gamma, beta, w2s, b2)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_block_dg_in_kernel_grads_match_xla():
+    """dg_in_kernel=True (the fc2 cotangent computed inside the backward
+    kernel) must match the composed reference on all 7 grads."""
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(T=301, seed=17)
+
+    def loss(fn):
+        def inner(*a):
+            y = fn(*a)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.shape[-1])))
+        return inner
+
+    got = jax.grad(
+        loss(lambda *a: ffn_ln_block(*a, interpret=True, dg_in_kernel=True)),
+        argnums=tuple(range(7)),
+    )(x, w1, b1, gamma, beta, w2, b2)
+    ref = jax.grad(loss(_block_ref), argnums=tuple(range(7)))(
+        x, w1, b1, gamma, beta, w2, b2
+    )
+    for g, r, name in zip(got, ref, "x w1 b1 gamma beta w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )

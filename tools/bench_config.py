@@ -62,6 +62,9 @@ def main() -> None:
     p.add_argument("--fused-ffn-ln", action="store_true",
                    help="additionally fold the pre-FFN LayerNorm into the "
                         "fused kernel (implies --fused-ffn)")
+    p.add_argument("--ffn-block-dg", action="store_true",
+                   help="compute dg = dy @ W2^T inside the block backward "
+                        "kernel (implies --ffn-block)")
     p.add_argument("--ffn-block-fc2", action="store_true",
                    help="fold fc2 into the block's forward kernel "
                         "(implies --ffn-block)")
@@ -111,13 +114,16 @@ def main() -> None:
         attention_impl=args.attention, fused_fe_conv=not args.no_fused_fe,
         encoder_ln_impl=args.ln, attention_save_stats=args.attn_stats,
         fused_ffn=(args.fused_ffn or args.fused_ffn_ln or args.ffn_block
-                   or args.ffn_block_dw or args.ffn_block_fc2),
+                   or args.ffn_block_dw or args.ffn_block_fc2
+                   or args.ffn_block_dg),
         fused_ffn_ln=(args.fused_ffn_ln or args.ffn_block
-                      or args.ffn_block_dw or args.ffn_block_fc2),
+                      or args.ffn_block_dw or args.ffn_block_fc2
+                      or args.ffn_block_dg),
         fused_ffn_block=(args.ffn_block or args.ffn_block_dw
-                         or args.ffn_block_fc2),
+                         or args.ffn_block_fc2 or args.ffn_block_dg),
         fused_ffn_block_dw=args.ffn_block_dw,
         fused_ffn_block_fc2=args.ffn_block_fc2,
+        fused_ffn_block_dg=args.ffn_block_dg,
         fused_qkv_ln=args.fused_qkv_ln,
         pos_conv_fold=args.pos_fold,
         attention_o_residual=args.attn_o,
@@ -206,6 +212,7 @@ def main() -> None:
         "ffn_block": args.ffn_block or args.ffn_block_dw or args.ffn_block_fc2,
         "ffn_block_dw": args.ffn_block_dw,
         "ffn_block_fc2": args.ffn_block_fc2,
+        "ffn_block_dg": args.ffn_block_dg,
         "fused_qkv_ln": args.fused_qkv_ln,
         "pos_fold": args.pos_fold,
         "attn_o": args.attn_o,

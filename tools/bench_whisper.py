@@ -45,6 +45,9 @@ def main() -> None:
     p.add_argument("--ffn-block-fc2", action="store_true",
                    help="fold fc2 into the block's forward kernel "
                         "(implies --ffn-block)")
+    p.add_argument("--ffn-block-dg", action="store_true",
+                   help="dg computed inside the block backward kernel "
+                        "(implies --ffn-block)")
     p.add_argument("--fused-ffn-ln", action="store_true",
                    help="additionally fold the pre-FFN LayerNorm into the "
                         "fused kernel (implies --fused-ffn)")
@@ -63,10 +66,12 @@ def main() -> None:
     cfg = getattr(WhisperConfig, args.arch)(
         dtype=jnp.bfloat16, ln_impl=args.ln,
         fused_ffn=(args.fused_ffn or args.fused_ffn_ln or args.ffn_block
-                   or args.ffn_block_fc2),
-        fused_ffn_ln=args.fused_ffn_ln or args.ffn_block or args.ffn_block_fc2,
-        fused_ffn_block=args.ffn_block or args.ffn_block_fc2,
-        fused_ffn_block_fc2=args.ffn_block_fc2, **kw
+                   or args.ffn_block_fc2 or args.ffn_block_dg),
+        fused_ffn_ln=(args.fused_ffn_ln or args.ffn_block
+                      or args.ffn_block_fc2 or args.ffn_block_dg),
+        fused_ffn_block=args.ffn_block or args.ffn_block_fc2 or args.ffn_block_dg,
+        fused_ffn_block_fc2=args.ffn_block_fc2,
+        fused_ffn_block_dg=args.ffn_block_dg, **kw
     )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     tx, schedule = create_optimizer(
@@ -130,6 +135,7 @@ def main() -> None:
         "fused_ffn_ln": args.fused_ffn_ln or args.ffn_block or args.ffn_block_fc2,
         "ffn_block": args.ffn_block or args.ffn_block_fc2,
         "ffn_block_fc2": args.ffn_block_fc2,
+        "ffn_block_dg": args.ffn_block_dg,
         "step_ms": round(elapsed / args.steps * 1000, 1),
         "audio_sec_per_sec_per_chip": round(audio_seconds / elapsed, 2),
     }))

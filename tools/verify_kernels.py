@@ -417,6 +417,15 @@ def verify_ffn_fc1():
                             "db2"), gf, gr):
         check(f"block_fc2 backward {name}", a, bb, growth=3.0)
 
+    # dg-in-kernel backward: the fc2 cotangent computed inside the kernel.
+    fused_dg = jax.jit(lambda *a: ffn_ln_block(
+        *a, interpret=False, dg_in_kernel=True))
+    gf = jax.jit(jax.grad(loss(fused_dg), argnums=tuple(range(7))))(
+        x, w, b, gamma, beta, w2, b2)
+    for name, a, bb in zip(("dx", "dw1", "db1", "dgamma", "dbeta", "dw2",
+                            "db2"), gf, gr):
+        check(f"block_dg backward {name}", a, bb, growth=3.0)
+
     # dw_in_kernel variant: dW1/dW2 accumulate on-MXU in VMEM-resident
     # blocks across the whole grid; all 7 grads vs the same reference.
     fused_dw = jax.jit(lambda *a: ffn_ln_block(
