@@ -228,6 +228,7 @@ def main() -> None:
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas",
         attention_save_stats="v2",
         fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
+        fused_ffn_block_dg=True,
         pos_conv_fold=True,
     )
     model = Wav2Vec2ForCTC(
@@ -345,7 +346,7 @@ def bench_whisper() -> dict:
     # buffers; train-path LNs stay XLA (pallas measured slower).
     cfg = WhisperConfig.small(
         dtype=jnp.bfloat16, fused_ffn=True, fused_ffn_ln=True,
-        fused_ffn_block=True,
+        fused_ffn_block=True, fused_ffn_block_dg=True,
     )
     params = init_whisper_params(jax.random.PRNGKey(0), cfg)
     rng_np = np.random.default_rng(0)

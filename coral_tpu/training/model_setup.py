@@ -173,10 +173,11 @@ class Wav2Vec2Setup:
             fused_ffn_block_fc2=bool(
                 model_cfg.get("fused_ffn_block_fc2", False)
             ),
-            # dg computed inside the backward kernel; default off until the
-            # hardware A/B.
+            # dg computed inside the backward kernel: 938.8 vs 917.5
+            # audio-s/s at B=48 on the round-4 A/B (the backward was partly
+            # DMA-bound on the 196 MB/layer dg read) — adopted.
             fused_ffn_block_dg=bool(
-                model_cfg.get("fused_ffn_block_dg", False)
+                model_cfg.get("fused_ffn_block_dg", True)
             ),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
         )
@@ -481,8 +482,9 @@ class WhisperSetup:
             fused_ffn_block_fc2=bool(
                 model_cfg.get("fused_ffn_block_fc2", False)
             ),
+            # 1384.1 -> 1415.8 audio-s/s on the round-4 A/B — adopted.
             fused_ffn_block_dg=bool(
-                model_cfg.get("fused_ffn_block_dg", False)
+                model_cfg.get("fused_ffn_block_dg", True)
             ),
         )
         _ = _multi_device_layerdrop(model_cfg.get("layerdrop", 0.0), is_main)

@@ -39,6 +39,7 @@ def bench_model_config(vocab_size: int) -> Wav2Vec2Config:
         vocab_size=vocab_size, dtype=jnp.bfloat16, attention_impl="pallas",
         attention_save_stats="v2",
         fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
+        fused_ffn_block_dg=True,
         pos_conv_fold=True,
     )
 
@@ -119,6 +120,8 @@ def test_whisper_defaults_match_bench(config_path, tmp_path) -> None:
     setup = WhisperSetup(config)
     assert setup.model_config.fused_ffn is True
     assert setup.model_config.fused_ffn_ln is True
+    assert setup.model_config.fused_ffn_block is True
+    assert setup.model_config.fused_ffn_block_dg is True
     assert setup.model_config.ln_impl == "xla"
     assert setup.config.get("grad_dtype", "bfloat16") == "bfloat16"
 
