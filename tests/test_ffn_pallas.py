@@ -739,3 +739,39 @@ def test_block_dg_in_kernel_grads_match_xla():
             np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
             err_msg=f"d{name}",
         )
+
+
+def test_block_dg_tensor_parallel_grads_match_single_device():
+    """dg_in_kernel under TP: the in-kernel dg contraction is over the
+    unsharded D, so per-shard dg is the local F slice; grads must match
+    the single-device run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from coral_tpu.ops.ffn_pallas import ffn_ln_block
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the 8-device CPU mesh")
+    x, w1, b1, gamma, beta, w2, b2 = _block_data(B=4, T=70, seed=18)
+
+    def loss(x, w1, b1, gamma, beta, w2, b2):
+        return jnp.sum(jnp.abs(ffn_ln_block(
+            x, w1, b1, gamma, beta, w2, b2, interpret=True,
+            dg_in_kernel=True)))
+
+    ref = jax.grad(loss, argnums=tuple(range(7)))(
+        x, w1, b1, gamma, beta, w2, b2
+    )
+    mesh = Mesh(np.array(jax.devices()[:2]), ("model",))
+    w1s = jax.device_put(w1, NamedSharding(mesh, P(None, "model")))
+    b1s = jax.device_put(b1, NamedSharding(mesh, P("model")))
+    w2s = jax.device_put(w2, NamedSharding(mesh, P("model", None)))
+    xs = jax.device_put(x, NamedSharding(mesh, P()))
+    with mesh:
+        got = jax.jit(jax.grad(loss, argnums=tuple(range(7))))(
+            xs, w1s, b1s, gamma, beta, w2s, b2
+        )
+    for g, r, name in zip(got, ref, "x w1 b1 gamma beta w2 b2".split()):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=1e-3, rtol=1e-4,
+            err_msg=f"d{name}",
+        )
