@@ -42,9 +42,14 @@ from ..ops.decode_attention import (
 # (models/wav2vec2.py _REMAT_POLICIES).
 REMAT_POLICIES = {
     "nothing_saveable": jax.checkpoint_policies.nothing_saveable,
+    # flash_o/l/m are the encoder flash kernel's VJP residuals (named on
+    # the residual vars inside ops/flash_attention.py): saving them DCEs
+    # both the remat replay of the flash forward AND the backward's own
+    # forward recompute (~1.9 ms/layer at whisper-small; ~38 MB/layer for
+    # o + two f32 row-stat vectors).
     "save_matmul_inputs": jax.checkpoint_policies.save_only_these_names(
         "attn_in", "q", "k", "v", "attn_ctx", "cross_in", "cross_q",
-        "cross_attn_ctx", "ffn_in",
+        "cross_attn_ctx", "ffn_in", "flash_o", "flash_l", "flash_m",
     ),
 }
 

@@ -75,6 +75,24 @@ def _flash(q, k, v):
     return out[:, :, :T, :]
 
 
+def _flash_res(q, k, v):
+    """Forward that also returns the softmax row stats (l, m) so the
+    backward can SKIP its forward recompute: (o unpadded, l, m padded)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as _fa
+
+    T, d = q.shape[2], q.shape[3]
+    (q, k, v), seg, blk, _ = _padded_inputs(q, k, v)
+    sizes = _fa.BlockSizes(
+        block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
+        block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
+        block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
+    )
+    o, l, m = _fa._flash_attention(
+        q, k, v, None, seg, True, False, float(d) ** -0.5, sizes, False
+    )
+    return o[:, :, :T, :], l, m
+
+
 def _bh_sharding(sharding, mesh):
     spec = [None] * 4
     if isinstance(sharding, NamedSharding):
@@ -102,27 +120,33 @@ def _fwd_cp():
     return f
 
 
-def _grads(q, k, v, do):
-    """Explicit flash backward: recompute the forward with residuals, then
-    the stock dkv kernel plus the patched dq wrapper
-    (``ops/_flash_bwd_patch.py`` — the stock one broadcasts ``di`` to
-    ``block_k_major`` lanes of which the kernel reads 128, a ~906 MB dead
-    materialisation at whisper-small shapes, ~16 ms/step)."""
+def _grads(q, k, v, do, o=None, l=None, m=None):
+    """Explicit flash backward: the stock dkv kernel plus the patched dq
+    wrapper (``ops/_flash_bwd_patch.py`` — the stock one broadcasts ``di``
+    to ``block_k_major`` lanes of which the kernel reads 128, a ~906 MB
+    dead materialisation at whisper-small shapes, ~16 ms/step). With
+    (o, l, m) handed in as saved residuals the forward recompute is
+    skipped entirely (~1.9 ms/layer at whisper-small); without them it
+    runs here, mirroring full rematerialisation."""
     from jax.experimental.pallas.ops.tpu import flash_attention as _fa
 
     from ._flash_bwd_patch import flash_attention_bwd_dq_fixed
 
     T, d = q.shape[2], q.shape[3]
-    (q, k, v, do), seg, blk, pad = _padded_inputs(q, k, v, do)
+    if o is None:
+        (q, k, v, do), seg, blk, pad = _padded_inputs(q, k, v, do)
+    else:
+        (q, k, v, do, o), seg, blk, pad = _padded_inputs(q, k, v, do, o)
     scale = float(d) ** -0.5
     sizes = _fa.BlockSizes(
         block_q=blk, block_k_major=blk, block_k=blk, block_b=1,
         block_q_major_dkv=blk, block_k_major_dkv=blk, block_k_dkv=blk,
         block_q_dkv=blk, block_k_major_dq=blk, block_k_dq=blk, block_q_dq=blk,
     )
-    o, l, m = _fa._flash_attention(
-        q, k, v, None, seg, True, False, scale, sizes, False
-    )
+    if o is None:
+        o, l, m = _fa._flash_attention(
+            q, k, v, None, seg, True, False, scale, sizes, False
+        )
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
     dk, dv = _fa._flash_attention_bwd_dkv(
         q, k, v, None, seg, l, m, do, di,
@@ -141,9 +165,43 @@ def _grads(q, k, v, do):
     return dq, dk, dv
 
 
+def _bh3_sharding(sharding, mesh):
+    spec = [None] * 3
+    if isinstance(sharding, NamedSharding):
+        got = list(sharding.spec) + [None] * 3
+        spec[0], spec[1] = got[0], got[1]
+    return NamedSharding(mesh, P(*spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_res_cp():
+    f = custom_partitioning(lambda q, k, v: _flash_res(q, k, v))
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_sharding(arg_infos[0].sharding, mesh)
+        sh3 = _bh3_sharding(arg_infos[0].sharding, mesh)
+        return (sh, sh3, sh3)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_sharding(arg_infos[0].sharding, mesh)
+        sh3 = _bh3_sharding(arg_infos[0].sharding, mesh)
+        return mesh, _flash_res, (sh, sh3, sh3), (sh, sh, sh)
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b h t d, b h t d, b h t d -> b h t d, b h s, b h s"
+        ),
+    )
+    return f
+
+
 @functools.lru_cache(maxsize=None)
 def _bwd_cp():
-    f = custom_partitioning(lambda q, k, v, do: _grads(q, k, v, do))
+    f = custom_partitioning(
+        lambda q, k, v, do, o, l, m: _grads(q, k, v, do, o, l, m)
+    )
 
     def infer(mesh, arg_infos, result_infos):
         sh = _bh_sharding(arg_infos[0].sharding, mesh)
@@ -151,13 +209,17 @@ def _bwd_cp():
 
     def partition(mesh, arg_infos, result_infos):
         sh = _bh_sharding(arg_infos[0].sharding, mesh)
-        return mesh, _grads, (sh, sh, sh), (sh, sh, sh, sh)
+        sh3 = _bh3_sharding(arg_infos[0].sharding, mesh)
+        lower = lambda q, k, v, do, o, l, m: _grads(  # noqa: E731
+            q, k, v, do, o, l, m
+        )
+        return mesh, lower, (sh, sh, sh), (sh, sh, sh, sh, sh, sh3, sh3)
 
     f.def_partition(
         infer_sharding_from_operands=infer,
         partition=partition,
         sharding_rule=(
-            "b h t d, b h t d, b h t d, b h t d "
+            "b h t d, b h t d, b h t d, b h t d, b h t d, b h s, b h s "
             "-> b h t d, b h t d, b h t d"
         ),
     )
@@ -170,12 +232,23 @@ def _attention(q, k, v):
 
 
 def _attention_fwd(q, k, v):
-    return _attention(q, k, v), (q, k, v)
+    from jax.ad_checkpoint import checkpoint_name
+
+    o, l, m = _fwd_res_cp()(q, k, v)
+    # Name the residuals ON the residual vars (the round-3 lesson: naming a
+    # downstream copy leaves the residual unsaved and the forward replays).
+    # A policy saving {flash_o, flash_l, flash_m} alongside q/k/v then DCEs
+    # both the remat replay AND the backward's own forward recompute of
+    # this kernel — whisper's save_matmul_inputs does exactly that.
+    o = checkpoint_name(o, "flash_o")
+    l = checkpoint_name(l, "flash_l")
+    m = checkpoint_name(m, "flash_m")
+    return o, (q, k, v, o, l, m)
 
 
 def _attention_bwd(res, do):
-    q, k, v = res
-    return tuple(_bwd_cp()(q, k, v, do))
+    q, k, v, o, l, m = res
+    return tuple(_bwd_cp()(q, k, v, do, o, l, m))
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
