@@ -15,19 +15,43 @@ from coral_tpu.ops.gelu_dropout_pallas import gelu_dropout
 def test_polynomial_gelu_pieces_wide_range():
     """The kernels' minimax polynomials for Phi and gelu' (FMA-only, no
     exp/divide) vs the exact functions over [-9, 9] — covering both fit
-    intervals AND the clamp/saturation tails."""
+    intervals AND the clamp/saturation tails. Each table is pinned at its
+    own design bound: the f32 tables at ~1e-6, the short (bf16-consumer)
+    tables at their fitted maxima (tools/fit_gelu_poly.py) plus the bf16
+    invisibility criterion — error under 1/3 of the bf16 quantisation
+    floor max(ulp(0.5)/2, |f| 2^-9), so a bf16 cast of the output is at
+    most 1 ulp from the exact function's cast."""
     import math
 
-    from coral_tpu.ops.gelu_dropout_pallas import _dgelu, _phi
+    from coral_tpu.ops import gelu_dropout_pallas as gp
 
     xs = np.linspace(-9, 9, 200001, dtype=np.float64)
     phi_ref = 0.5 * (1.0 + np.asarray([math.erf(v / math.sqrt(2)) for v in xs]))
-    phi_got = np.asarray(_phi(jnp.asarray(xs, jnp.float32)), np.float64)
-    # gelu = x * Phi is what the forward kernels emit.
-    assert np.max(np.abs(xs * phi_got - xs * phi_ref)) < 2e-6
+    gelu_ref = xs * phi_ref
     dgelu_ref = phi_ref + xs * np.exp(-0.5 * xs * xs) / math.sqrt(2 * math.pi)
-    dgelu_got = np.asarray(_dgelu(jnp.asarray(xs, jnp.float32)), np.float64)
-    assert np.max(np.abs(dgelu_got - dgelu_ref)) < 1e-6
+
+    def _eval(coef, bound, fn=None):
+        x32 = jnp.asarray(xs, jnp.float32)
+        got = np.asarray(gp._odd_poly(x32, coef, bound), np.float64)
+        return got
+
+    # f32 tables (CORAL_GELU_POLY=f32): near-f32-exact.
+    phi_f32 = _eval(gp._PHI_COEF_F32, gp._PHI_B_F32)
+    assert np.max(np.abs(xs * phi_f32 - gelu_ref)) < 2e-6
+    dg_f32 = _eval(gp._DGELU_COEF_F32, gp._DGELU_B_F32)
+    assert np.max(np.abs(dg_f32 - dgelu_ref)) < 1e-6
+
+    # short tables (default): fitted maxima + bf16 invisibility.
+    phi_s = _eval(gp._PHI_COEF_SHORT, gp._PHI_B_SHORT)
+    gelu_err = np.abs(xs * phi_s - gelu_ref)
+    assert np.max(gelu_err) < 2.5e-4
+    bf16_floor = np.maximum(2.0 ** -10, np.abs(gelu_ref) * 2.0 ** -9)
+    assert np.max(gelu_err / bf16_floor) < 1.0 / 3.0
+    dg_s = _eval(gp._DGELU_COEF_SHORT, gp._DGELU_B_SHORT)
+    dg_err = np.abs(dg_s - dgelu_ref)
+    assert np.max(dg_err) < 3.5e-4
+    bf16_floor = np.maximum(2.0 ** -10, np.abs(dgelu_ref) * 2.0 ** -9)
+    assert np.max(dg_err / bf16_floor) < 1.0 / 3.0
 
 
 def test_rate_zero_is_exact_gelu():
