@@ -180,6 +180,12 @@ class Wav2Vec2Setup:
                 model_cfg.get("fused_ffn_block_dg", True)
             ),
             pos_conv_fold=bool(model_cfg.get("pos_conv_fold", True)),
+            # Forwarded so the post-LN guard below is reachable from the
+            # config surface (otherwise model.do_stable_layer_norm=false
+            # would itself be a silent no-op).
+            do_stable_layer_norm=bool(
+                model_cfg.get("do_stable_layer_norm", True)
+            ),
         )
         if not self.model_config.do_stable_layer_norm and (
             self.model_config.fused_ffn_ln or self.model_config.fused_qkv_ln
@@ -199,7 +205,12 @@ class Wav2Vec2Setup:
         # v/o projection matmuls; q, k, ctx and the ~1 MB lse come from
         # storage. ~3.6 GB of saved residuals at B=48 x 10 s; memory-
         # tighter configs opt out with save_attn_ctx_lse/nothing_saveable.
-        remat_policy = config.get("remat_policy", "save_qk_ctx")
+        # Accepted at both levels (model.remat_policy wins): the whisper
+        # setup reads model.remat_policy, so ignoring it here would be a
+        # silent no-op for users who move a config between families.
+        remat_policy = model_cfg.get(
+            "remat_policy", config.get("remat_policy", "save_qk_ctx")
+        )
         if remat_policy == "save_ctx_act" and not self.model_config.fused_ffn:
             # save_ctx_act saves "ffn_act", emitted only on the fused-FFN
             # path (the unfused path names "ffn_hidden"); without fused_ffn
