@@ -50,7 +50,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .gelu_dropout_pallas import _dgelu, _gelu_parts
+from .gelu_dropout_pallas import _dgelu, _gelu_parts, gelu_poly
 
 # Output rows per grid step (input slab = 2*TB rows). 256 is the measured
 # round-3 optimum under the default 16 MB scoped-VMEM compiler limit;
@@ -470,7 +470,7 @@ def _xla_reference(x, w, b, gamma, beta, k, eps):
     var = jnp.mean(cen * cen, axis=-1, keepdims=True)
     n = cen * jax.lax.rsqrt(var + eps)
     z = n * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
-    return jax.nn.gelu(z, approximate=False).astype(x.dtype)
+    return gelu_poly(z).astype(x.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

@@ -46,7 +46,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .gelu_dropout_pallas import _dgelu, _gelu_parts
+from .gelu_dropout_pallas import _dgelu, _gelu_parts, gelu_poly
 
 # Rows per grid step. 256 keeps the fp32 h block at 4 MB (F=4096) and the
 # per-step matmul (256, 1024) @ (1024, 4096) large enough to run the MXU at
@@ -1900,7 +1900,7 @@ def _xla_reference(x, w, b, rate, rng):
         x, w.astype(x.dtype), (((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + b.astype(jnp.float32)
-    g = jax.nn.gelu(h, approximate=False).astype(x.dtype)
+    g = gelu_poly(h).astype(x.dtype)
     if rate == 0.0:
         return g
     keep = jax.random.bernoulli(rng, 1.0 - rate, g.shape)

@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from .gelu_dropout_pallas import _dgelu, _gelu_parts
+from .gelu_dropout_pallas import _dgelu, _gelu_parts, gelu_poly
 
 _TILE = 512  # rows per grid step
 _EPS = 1e-5  # default; call sites thread the model's layer_norm_eps through
@@ -244,7 +244,7 @@ def ln_gelu(
         var = jnp.mean(c * c, axis=-1, keepdims=True)
         n = c * jax.lax.rsqrt(var + eps)
         z = n * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
-        return jax.nn.gelu(z, approximate=False).astype(x.dtype)
+        return gelu_poly(z).astype(x.dtype)
     return _ln_gelu(x, gamma, beta, interpret, True, eps)
 
 

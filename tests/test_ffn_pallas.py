@@ -104,7 +104,11 @@ def test_dropout_fallback_grad_mask_matches_forward():
 
 def test_model_param_tree_and_output_parity():
     """fused_ffn=True keeps the exact nn.Dense param tree and matches the
-    unfused FFN output when dropout is off."""
+    unfused FFN output when dropout is off. The unfused model path keeps
+    exact ``jax.nn.gelu`` (HF-parity numerics), the fused path evaluates the
+    selected polynomial tables, so the cross-path tolerance is the
+    documented poly bound (short: max |err| 1.85e-4) amplified by the fc2
+    contraction (F=256 correlated pointwise errors), not f32 epsilon."""
     from coral_tpu.models.wav2vec2 import FeedForward, Wav2Vec2Config
 
     cfg_args = dict(hidden_size=128, intermediate_size=256)
@@ -125,7 +129,7 @@ def test_model_param_tree_and_output_parity():
                     jax.tree_util.tree_leaves(params[1])):
         assert a.shape == b.shape and a.dtype == b.dtype
     np.testing.assert_allclose(
-        np.asarray(outs[0]), np.asarray(outs[1]), atol=2e-5
+        np.asarray(outs[0]), np.asarray(outs[1]), atol=1e-3
     )
 
 
@@ -165,15 +169,18 @@ def test_encoder_layer_fused_ffn_ln_parity():
     assert jax.tree_util.tree_structure(params[0]) == (
         jax.tree_util.tree_structure(params[1])
     )
+    # Cross-path (poly vs exact-GELU) forward/grad tolerances follow the
+    # documented short-table bound through the fc2 contraction; see
+    # test_model_param_tree_and_output_parity.
     np.testing.assert_allclose(
-        np.asarray(outs[0][0]), np.asarray(outs[1][0]), atol=2e-5
+        np.asarray(outs[0][0]), np.asarray(outs[1][0]), atol=1e-3
     )
     flat0 = jax.tree_util.tree_leaves_with_path(outs[0][1])
     flat1 = jax.tree_util.tree_leaves_with_path(outs[1][1])
     for (p0, g0), (p1, g1) in zip(flat0, flat1):
         assert p0 == p1
         np.testing.assert_allclose(
-            np.asarray(g0), np.asarray(g1), atol=5e-4, rtol=1e-4,
+            np.asarray(g0), np.asarray(g1), atol=2e-3, rtol=1e-4,
             err_msg=jax.tree_util.keystr(p0),
         )
 

@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from coral_tpu.ops import gelu_dropout_pallas as gp
 from coral_tpu.ops.gelu_dropout_pallas import gelu_dropout
 
 
@@ -54,13 +55,22 @@ def test_polynomial_gelu_pieces_wide_range():
     assert np.max(dg_err / bf16_floor) < 1.0 / 3.0
 
 
-def test_rate_zero_is_exact_gelu():
+def test_rate_zero_matches_exact_gelu_within_poly_bound():
+    # The op's numerics are the selected polynomial tables (round-5
+    # adjudication: short is the default, documented max |err| 1.85e-4 vs
+    # exact GELU — under 0.3 of the bf16 floor on the cast output paths).
+    # The fallback now evaluates the same tables, so this bound holds on
+    # every backend.
     x = jnp.asarray(
         np.random.default_rng(0).standard_normal((2, 40, 64)), jnp.float32
     )
     out = gelu_dropout(x, 0.0, jax.random.PRNGKey(0))
     ref = jax.nn.gelu(x, approximate=False)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+    # And it is exactly the gelu_poly numerics, not merely close to exact.
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(gp.gelu_poly(x)), atol=1e-6
+    )
 
 
 def test_dropout_statistics_and_scaling():
@@ -68,7 +78,9 @@ def test_dropout_statistics_and_scaling():
     out = gelu_dropout(x, 0.25, jax.random.PRNGKey(1))
     kept = np.asarray(out) != 0
     assert abs(kept.mean() - 0.75) < 0.02
-    g1 = float(jax.nn.gelu(jnp.asarray(1.0), approximate=False))
+    # Dropout-scaling mechanics: kept values are gelu(1)/keep with the op's
+    # own (gelu_poly) numerics.
+    g1 = float(gp.gelu_poly(jnp.asarray(1.0, jnp.float32)))
     np.testing.assert_allclose(
         np.asarray(out)[kept], g1 / 0.75, rtol=1e-5
     )

@@ -3,13 +3,18 @@
 Off-TPU the op composes plain ops; the TPU kernel's forward/backward
 (including ragged last tiles and the dgamma/dbeta row masking) was validated
 against XLA autodiff on hardware to ~1e-6. These tests pin the shared
-semantics and the gradient path of the fallback.
+semantics and the gradient path of the fallback. The oracles evaluate GELU
+through ``gelu_poly`` (the selected polynomial tables — the kernel's and the
+fallback's numerics), so they test the LN/GELU *mechanics* at tight tolerance
+under either CORAL_GELU_POLY table set; the poly-vs-exact error bound itself
+is pinned in tests/test_gelu_dropout.py.
 """
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from coral_tpu.ops.gelu_dropout_pallas import gelu_poly
 from coral_tpu.ops.ln_gelu_pallas import _EPS, ln_gelu
 
 
@@ -18,7 +23,7 @@ def _ref(x, gamma, beta):
     c = x - mu
     var = jnp.mean(c * c, axis=-1, keepdims=True)
     n = c * jax.lax.rsqrt(var + _EPS)
-    return jax.nn.gelu(n * gamma + beta, approximate=False)
+    return gelu_poly(n * gamma + beta)
 
 
 def test_matches_layernorm_gelu():
@@ -59,7 +64,7 @@ def test_eps_is_honoured():
     mu = jnp.mean(x, axis=-1, keepdims=True)
     c = x - mu
     var = jnp.mean(c * c, axis=-1, keepdims=True)
-    want = jax.nn.gelu(c * jax.lax.rsqrt(var + 10.0), approximate=False)
+    want = gelu_poly(c * jax.lax.rsqrt(var + 10.0))
     np.testing.assert_allclose(big, np.asarray(want), atol=1e-6)
     assert not np.allclose(big, np.asarray(ln_gelu(x, gamma, beta)))
 
