@@ -212,6 +212,8 @@ class DictConfig(dict):
                     raise KeyError(dotted)
                 node[part] = {}
             node = dict.__getitem__(node, part)
+        if not create and parts[-1] not in node:
+            raise KeyError(dotted)
         node[parts[-1]] = value
 
     def copy(self) -> "DictConfig":
@@ -480,6 +482,16 @@ def compose(
             dict.__delitem__(node, parts[-1])
             continue
         parsed = _yaml_load(value) if value != "" else None
-        cfg.set_dotted(key, parsed, create=True)
+        try:
+            # Hydra semantics: a bare key=value override may only modify an
+            # existing key; creating a new one needs the explicit +key=value.
+            # Silent creation turns typos (and keys that live under another
+            # group, e.g. learning_rate vs model.learning_rate) into no-ops.
+            cfg.set_dotted(key, parsed, create=(mode == "add"))
+        except KeyError:
+            raise KeyError(
+                f"Could not override '{key}': no such key in the composed "
+                f"config. To append a new key use '+{key}={value}'."
+            ) from None
 
     return cfg

@@ -102,6 +102,24 @@ class TestCompose:
         )
         assert cfg.brand_new_key == 7
 
+    def test_bare_override_of_unknown_key_raises(self, config_path) -> None:
+        # Hydra semantics: a bare key=value may only modify an existing key.
+        # Silent creation turns typos (or keys that actually live under a
+        # group, e.g. learning_rate vs model.learning_rate) into no-ops that
+        # quietly train with the wrong hyperparameters.
+        with pytest.raises(KeyError, match=r"\+learning_rate"):
+            compose(
+                "asr_finetuning", overrides=["learning_rate=1e-3"],
+                config_path=config_path,
+            )
+        # The documented escape hatch still works.
+        cfg = compose(
+            "asr_finetuning",
+            overrides=["model.learning_rate=1e-3", "+learning_rate=1e-3"],
+            config_path=config_path,
+        )
+        assert cfg.model.learning_rate == 1e-3
+
 
 class TestPlatformEnvHandling:
     """Importing coral_tpu.config translates an explicit non-axon

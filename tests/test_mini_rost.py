@@ -49,7 +49,11 @@ OVERRIDES = [
     "model.mask_time_prob=0.0",
     "model.mask_feature_prob=0.0",
     "augment_audio=false",
-    "learning_rate=1e-3",
+    # Explicit: the measured recipe below (WER 1.0 -> 0.52 by step 1600) ran
+    # at the test-wav2vec2 default LR. An earlier bare `learning_rate=1e-3`
+    # override silently created a dead top-level key (the trainer reads
+    # model.learning_rate); compose now rejects that class of typo.
+    "model.learning_rate=1e-4",
 ]
 
 
