@@ -149,6 +149,18 @@ def load_saved_predictor(config: Any) -> tuple[Callable, dict]:
             yaml.safe_load((model_dir / "config.yaml").read_text("utf-8"))
         )
         saved.model_dir = str(model_dir)
+        # Eval-time generation overrides (the reference's evaluation surface
+        # re-decides decoding strategy per run — `no_lm` for wav2vec2,
+        # Seq2SeqTrainingArguments.generation_num_beams for whisper,
+        # src/coral/whisper.py:221-222 / evaluate.py:142-155).
+        for key, model_key in (
+            ("generation_num_beams", "generation_num_beams"),
+            ("generation_length_penalty", "generation_length_penalty"),
+            ("return_timestamps", "return_timestamps"),
+            ("generation_max_length", "max_length"),
+        ):
+            if config.get(key) is not None:
+                saved.model[model_key] = config.get(key)
         setup = load_model_setup(saved, is_main=True)
         params = _restore_params(model_dir / "model", setup)
     else:

@@ -130,7 +130,14 @@ def transcribe_longform(
             ]
             id_sequences.append(seq)
 
-    merged = merge_token_sequences(id_sequences)
+    if stride == 0:
+        # No overlap to reconcile: the HF pipeline only runs its
+        # longest-common-sequence merge on stride overlaps; with none, the
+        # heuristic would hallucinate weak matches between unrelated
+        # neighbouring windows and swallow tokens.
+        merged = [t for seq in id_sequences for t in seq]
+    else:
+        merged = merge_token_sequences(id_sequences)
     return tokenizer.bpe.decode(merged).strip()
 
 
