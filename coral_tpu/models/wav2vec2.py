@@ -79,7 +79,11 @@ class Wav2Vec2Config:
     # (nothing_saveable); named-checkpoint policies would replay the fwd
     # kernel to rebuild the extra residual.
     # False | True (v1: transposed-space fwd+bwd) | "v2" (normal-space fwd
-    # + lse relayout, v1 transposed-space bwd).
+    # + lse relayout, v1 transposed-space bwd) | "v3" (v2's fwd; bwd also
+    # reads o — the policy-saved "attn_ctx" — for the flash
+    # delta = rowsum(do * o) identity, dropping the (T, T) sum(p * dp)
+    # multiply+reduce; pair with save_qk_ctx / save_attn_ctx_lse which save
+    # both residuals anyway).
     attention_save_stats: bool | str = False
     # Save the attention output o as a VJP residual (it is the same flat
     # tensor as the "attn_ctx" checkpoint, so policies saving attn_ctx cover
@@ -515,7 +519,14 @@ class Attention(nn.Module):
                 save_stats=cfg.attention_save_stats,
                 o_residual=cfg.attention_o_residual,
             )
-            if not (cfg.attention_o_residual and not cfg.attention_save_stats):
+            named_inside = (
+                # o_residual names "attn_ctx" on the residual var itself;
+                # the v3 stats path names BOTH o and lse inside (renaming
+                # here would double-save o under named policies).
+                (cfg.attention_o_residual and not cfg.attention_save_stats)
+                or cfg.attention_save_stats == "v3"
+            )
+            if not named_inside:
                 out = checkpoint_name(out, "attn_ctx")
             out = proj("out_proj")(out)
             out = nn.Dropout(cfg.hidden_dropout)(

@@ -234,6 +234,65 @@ def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
             cur = nxt
 
 
+def _bwd_kernel_stats_ctx(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
+                          o_ref, dq_ref, dk_ref, dv_ref, *, sm_scale: float,
+                          head_dim: int):
+    """Backward fed BOTH forward residuals (the v3 variant): the (T, T)
+    probability matrix is rebuilt as ``exp(s - lse)`` (one fused pass, like
+    the v1/v2 stats backward) AND the softmax-grad correction comes from the
+    flash identity ``delta = rowsum(do * o)`` — a (T, d) multiply +
+    lane-reduce instead of the (T, T) ``sum(p * dp)`` multiply + reduction
+    the stats backward pays. Both residuals are policy-saved under
+    save_qk_ctx / save_attn_ctx_lse (o IS "attn_ctx", lse IS "attn_lse"),
+    so the variant costs no extra HBM over v2."""
+    bias_c = bias_ref[0]  # (T, 1)
+    n_heads = q_ref.shape[2] // head_dim
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[0, :, lanes] * jnp.asarray(sm_scale, q_ref.dtype)
+        k = k_ref[0, :, lanes]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tk, Tq)
+        v = v_ref[0, :, lanes]
+        do = do_ref[0, :, lanes]
+        o = o_ref[0, :, lanes]
+        lse = lse_ref[0, h:h + 1, :]  # (1, Tq) row
+
+        p = jnp.exp(st + bias_c - lse)
+
+        # delta = sum_k p * dp = do . o per query row (flash identity): a
+        # (T, d) pass + the same T-float in-register relayout the v2 stats
+        # forward uses for lse.
+        delta_col = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=1, keepdims=True,
+        )  # (Tq, 1)
+        delta = delta_col.reshape(1, -1)  # (1, Tq) row
+
+        pb = p.astype(q.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, d)
+        dp = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, Tq)
+        ds = (p * (dp - delta)).astype(q.dtype)  # (Tk, Tq)
+        dq = jax.lax.dot_general(
+            ds, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # (Tq, d)
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, d); sm_scale arrives via the pre-scaled q
+        dq_ref[0, :, lanes] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, lanes] = dk.astype(dk_ref.dtype)
+        dv_ref[0, :, lanes] = dv.astype(dv_ref.dtype)
+
+
 def _bwd_kernel_ctx(q_ref, k_ref, v_ref, bias_ref, do_ref, o_ref,
                     dq_ref, dk_ref, dv_ref, *, sm_scale: float,
                     head_dim: int):
@@ -516,6 +575,28 @@ def _bwd_pallas_stats(q, k, v, bias, do, lse, sm_scale, head_dim, interpret):
     )(q, k, v, bias_c, do, lse)
 
 
+def _bwd_pallas_stats_ctx(q, k, v, bias, do, lse, o, sm_scale, head_dim,
+                          interpret):
+    B, T, HD = q.shape
+    H = HD // head_dim
+    groups = _head_groups(
+        HD, head_dim, n_blocks=9, T=T, itemsize=q.dtype.itemsize
+    )
+    qkv_spec, _ = _specs(T, HD, groups)
+    bias_c = jnp.swapaxes(bias, 1, 2)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_stats_ctx, sm_scale=sm_scale, head_dim=head_dim
+        ),
+        grid=(B, groups),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, _bias_col_spec(T), qkv_spec,
+                  _lse_spec(T, H, groups), qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3,
+        interpret=interpret,
+    )(q, k, v, bias_c, do, lse, o)
+
+
 # ---------------------------------------------------------------------------
 # GSPMD partitioning
 #
@@ -773,6 +854,44 @@ def _bwd_stats_cp(sm_scale, head_dim, interpret):
     return f
 
 
+@functools.lru_cache(maxsize=None)
+def _bwd_stats_ctx_cp(sm_scale, head_dim, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bias, do, lse, o: _bwd_pallas_stats_ctx(
+            q, k, v, bias, do, lse, o, sm_scale, head_dim, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        batch_spec = sh.spec[0]
+        arg_shs = (
+            sh, sh, sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+            sh, _lse_sharding(arg_infos[0].sharding, mesh), sh,
+        )
+        lower = functools.partial(
+            _bwd_pallas_stats_ctx, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
+        )
+        return mesh, lower, (sh, sh, sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b t (e f), b t (e f), b t (e f), b u t, b t (e f), b e t, "
+            "b t (e f) -> b t (e f), b t (e f), b t (e f)"
+        ),
+        f=head_dim,
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attention(q, k, v, bias, sm_scale, head_dim, interpret):
     o, _ = _attention_fwd(q, k, v, bias, sm_scale, head_dim, interpret)
@@ -879,6 +998,42 @@ def _attention_stats_v2_fwd(q, k, v, bias, sm_scale, head_dim, interpret):
 _attention_stats_v2.defvjp(_attention_stats_v2_fwd, _attention_stats_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attention_stats_v3(q, k, v, bias, sm_scale, head_dim, interpret):
+    o, _ = _attention_stats_v3_fwd(
+        q, k, v, bias, sm_scale, head_dim, interpret
+    )
+    return o
+
+
+def _attention_stats_v3_fwd(q, k, v, bias, sm_scale, head_dim, interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    # Same forward as v2 (normal-space kernel + in-register lse relayout);
+    # the backward additionally consumes o, replacing the (T, T)
+    # ``sum(p * dp)`` delta pass with the flash ``rowsum(do * o)`` identity.
+    # BOTH residuals are named here, on the residual vars themselves: under
+    # save_qk_ctx / save_attn_ctx_lse the policy-saved tensors feed the
+    # backward directly (no extra HBM vs v2 — o is the "attn_ctx" the
+    # out-projection's dW needs saved anyway). The model must NOT re-name
+    # the returned o (a post-hoc copy would double-save it).
+    o, lse = _fwd_stats_v2_cp(sm_scale, head_dim, interpret)(q, k, v, bias)
+    lse = checkpoint_name(lse, "attn_lse")
+    o = checkpoint_name(o, "attn_ctx")
+    return o, (q, k, v, bias, lse, o)
+
+
+def _attention_stats_v3_bwd(sm_scale, head_dim, interpret, res, do):
+    q, k, v, bias, lse, o = res
+    dq, dk, dv = _bwd_stats_ctx_cp(sm_scale, head_dim, interpret)(
+        q, k, v, bias, do, lse, o
+    )
+    return dq, dk, dv, None
+
+
+_attention_stats_v3.defvjp(_attention_stats_v3_fwd, _attention_stats_v3_bwd)
+
+
 def short_t_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -951,7 +1106,11 @@ def short_t_attention_flat(
     # a uniform distribution instead of exp(-inf + inf) = NaN poisoning the
     # summed loss.
     bias = jnp.where(pad_mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
-    if save_stats == "v2":
+    if save_stats == "v3":
+        # v2's forward; the backward reads BOTH policy-saved residuals
+        # (lse for the one-pass p rebuild, o for the flash delta identity).
+        fn = _attention_stats_v3
+    elif save_stats == "v2":
         # Normal-space forward + lse rows via a T-float in-register relayout
         # per head; the v1 transposed-space backward consumes them.
         fn = _attention_stats_v2

@@ -120,6 +120,66 @@ def test_save_stats_v2_variant_matches_plain(qkv):
         np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_save_stats_v3_variant_matches_plain(qkv):
+    """The v3 stats variant (v2's forward; backward reads the o residual for
+    the flash delta = rowsum(do * o) identity instead of the (T, T)
+    sum(p * dp) pass) must match the stats-free kernel on values and the XLA
+    path on gradients."""
+    q, k, v, pad = qkv
+    out = short_t_attention(q, k, v, pad, save_stats="v3")
+    ref = _xla_reference(q, k, v, pad)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def loss(fn, q, k, v):
+        return jnp.sum(jnp.sin(fn(q, k, v)) * jnp.cos(q))
+
+    g_stats = jax.grad(
+        lambda q, k, v: loss(
+            lambda a, b, c: short_t_attention(a, b, c, pad, save_stats="v3"),
+            q, k, v,
+        ),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: loss(lambda a, b, c: _xla_reference(a, b, c, pad),
+                             q, k, v),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b in zip(g_stats, g_ref):
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_save_stats_v3_fully_masked_row_grads():
+    """v3 inherits v2's lse clamp AND its delta comes from o = 0 rows: a
+    fully-masked row yields p = 0 and delta = 0 (zero grads); valid rows
+    keep exact parity with the stats-free kernel."""
+    B, T, H, d = 2, 16, 2, 8
+    rng = np.random.default_rng(11)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, T, H, d)), jnp.float32)
+        for _ in range(3)
+    )
+    pad = jnp.asarray([[True] * T, [False] * T])
+    out = short_t_attention(q, k, v, pad, save_stats="v3")
+    assert np.all(np.isfinite(np.asarray(out)))
+    stats = lambda q, k, v: short_t_attention(  # noqa: E731
+        q, k, v, pad, save_stats="v3"
+    )
+    plain = lambda q, k, v: short_t_attention(q, k, v, pad)  # noqa: E731
+    for arg in (0, 1, 2):
+        def gr(fn, a=arg):
+            return jax.grad(
+                lambda x: jnp.sum(
+                    fn(x if a == 0 else q, x if a == 1 else k,
+                       x if a == 2 else v)
+                )
+            )((q, k, v)[a])
+        g_stats = np.asarray(gr(stats))
+        np.testing.assert_allclose(g_stats[0], np.asarray(gr(plain))[0],
+                                   atol=1e-5)
+        assert np.all(g_stats[1] == 0.0)
+
+
 def test_save_stats_v2_fully_masked_row_grads():
     """The v2 forward carries the same lse clamp as v1: a fully-masked row
     yields p = 0 (zero grads) in the backward, valid rows exact parity."""

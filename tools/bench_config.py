@@ -47,7 +47,7 @@ def main() -> None:
     p.add_argument("--freeze-fe", action="store_true")
     p.add_argument("--attention", default="pallas", help="pallas | xla | flash")
     p.add_argument("--attn-stats", nargs="?", const=True, default=False,
-                   type=lambda v: v if v == "v2" else bool(v),
+                   type=lambda v: v if v in ("v2", "v3") else bool(v),
                    help="save the attention fwd log-sum-exp as a residual "
                         "(one-pass p rebuild in bwd; pair with "
                         "remat=nothing_saveable)")
