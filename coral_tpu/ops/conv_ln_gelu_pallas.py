@@ -20,9 +20,11 @@ This kernel computes one whole block in a single pass over the input:
   im2col formulation which materialises patch tensors in HBM (measured 750
   vs 778 audio-s/s in round 3).
 - The one even row a k=3 window needs from the next slab (input row
-  2*TB*(t+1)) is gathered outside the kernel with one strided XLA slice
-  (nT rows per batch element, negligible traffic) and block-mapped
-  per step, which keeps every kernel read exactly in-bounds.
+  2*TB*(t+1)) arrives through a second block-mapped view of the input whose
+  index map points at the next slab (clamped on the last slab, whose halo
+  only feeds masked/clipped outputs) — it rides the kernel's own DMA
+  pipeline instead of the round-3 strided XLA gather (~3 ms/step at
+  B=48 x 10 s).
 - Bias, fp32 LayerNorm stats, and exact GELU are applied in-register; only
   the final activation ``y``, the pre-affine normalised tensor ``xhat`` and
   the per-row ``rstd`` leave the kernel (``xhat``/``rstd`` make the backward
@@ -94,19 +96,19 @@ def _interleave(even, odd):
     return jnp.concatenate([even, odd], axis=1).reshape(2 * n, c)
 
 
-def _gather_halo(x, nT):
-    """Rows 2*_TB*(t+1) of x for t in [0, nT) as (B, nT, C), zero-padded
-    where the row is out of bounds (those rows only feed masked outputs)."""
-    B, T_in, C = x.shape
-    sl = jax.lax.slice(
-        x, (0, 2 * _TB, 0), (B, T_in, C), (1, 2 * _TB, 1)
-    ) if T_in > 2 * _TB else jnp.zeros((B, 0, C), x.dtype)
-    n_valid = sl.shape[1]
-    if n_valid < nT:
-        sl = jnp.pad(sl, ((0, 0), (0, nT - n_valid), (0, 0)))
-    # Unit sublane axis so the (1, 1, 1, C) block satisfies Mosaic's
-    # block-shape rule (sublane dim equal to the array dim).
-    return sl[:, :nT, None, :]
+def _halo_spec(nT, C):
+    """Second view of x delivering the one even row a k=3 window needs from
+    the next slab (input row ``2*_TB*(t+1)``): a (1, _HALO, C) block of x
+    whose index map points at the next slab's first rows, clamped to the
+    last slab for t = nT-1 (whose halo only ever feeds masked/clipped
+    outputs). Replaces the round-3 strided XLA gather, which cost ~3 ms/step
+    at B=48 x 10 s (a stride-512 slice over 160k rows lowers as a gather);
+    here the rows ride the kernel's own DMA pipeline."""
+    blocks_per_slab = 2 * _TB // _HALO
+    return pl.BlockSpec(
+        (1, _HALO, C),
+        lambda b, t: (b, jnp.minimum(t + 1, nT - 1) * blocks_per_slab, 0),
+    )
 
 
 def _conv_rows(even, odd, even_next, w_ref, k: int):
@@ -132,9 +134,10 @@ def _fwd_kernel(x_ref, halo_ref, w_ref, b_ref, g_ref, beta_ref,
                 y_ref, xhat_ref, rstd_ref, *, k: int, eps: float):
     even, odd = _deinterleave(x_ref[0])
     if k == 3:
-        # shift(even): rows 1..TB-1 of even, then the gathered halo row
-        # (= input row 2*TB*(t+1), i.e. the next slab's row 0).
-        even_next = jnp.concatenate([even[1:], halo_ref[0, 0]], axis=0)
+        # shift(even): rows 1..TB-1 of even, then the halo row (= input row
+        # 2*TB*(t+1), i.e. the next slab's row 0, block-mapped via
+        # ``_halo_spec``'s second view of x).
+        even_next = jnp.concatenate([even[1:], halo_ref[0, :1]], axis=0)
     else:
         even_next = None
     bias = b_ref[...].astype(jnp.float32)
@@ -245,7 +248,7 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, xhat_ref, rstd_ref,
     if k == 3:
         # Shift before masking: row j's tap-2 input x[2j+2] sits in even row
         # j+1, whose own output row may be invalid while row j is not.
-        even_next = jnp.concatenate([even[1:], halo_ref[0, 0]], axis=0)
+        even_next = jnp.concatenate([even[1:], halo_ref[0, :1]], axis=0)
         even_next = jnp.where(mask, even_next, 0)
     even = jnp.where(mask, even, 0)
     odd = jnp.where(mask, odd, 0)
@@ -266,9 +269,9 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, xhat_ref, rstd_ref,
 def _grid_specs(B, T_out, C, k):
     nT = pl.cdiv(T_out, _TB)
     x_spec = pl.BlockSpec((1, 2 * _TB, C), lambda b, t: (b, t, 0))
-    # Halo: one gathered row per slab (input row 2*_TB*(t+1)), see
-    # ``_gather_halo`` — every read is exactly in-bounds.
-    halo_spec = pl.BlockSpec((1, 1, 1, C), lambda b, t: (b, t, 0, 0))
+    # Halo: a second block-mapped view of x pointing at the next slab's
+    # first rows (see ``_halo_spec``).
+    halo_spec = _halo_spec(nT, C)
     w_spec = pl.BlockSpec((k, C, C), lambda b, t: (0, 0, 0))
     vec_spec = pl.BlockSpec((C,), lambda b, t: (0,))
     out_spec = pl.BlockSpec((1, _TB, C), lambda b, t: (b, t, 0))
@@ -282,7 +285,6 @@ def _fwd_pallas(x, w, b, gamma, beta, k, eps, interpret):
     nT, x_spec, halo_spec, w_spec, vec_spec, out_spec, rstd_spec = _grid_specs(
         B, T_out, C, k
     )
-    halo = _gather_halo(x, nT)
     y, xhat, rstd = pl.pallas_call(
         functools.partial(_fwd_kernel, k=k, eps=eps),
         grid=(B, nT),
@@ -295,7 +297,7 @@ def _fwd_pallas(x, w, b, gamma, beta, k, eps, interpret):
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(x, halo, w, b, gamma, beta)
+    )(x, x, w, b, gamma, beta)
     return y, xhat, rstd
 
 
@@ -311,7 +313,6 @@ def _bwd_pallas(x, w, gamma, beta, xhat, rstd, dy, k, eps, interpret):
     nT, x_spec, halo_spec, w_spec, vec_spec, out_spec, rstd_spec = _grid_specs(
         B, T_out, C, k
     )
-    halo = _gather_halo(x, nT)
     dx_spec = pl.BlockSpec((1, 2 * _TB, C), lambda b, t: (b, t, 0))
     dhalo_spec = pl.BlockSpec((1, 1, 1, C), lambda b, t: (b, t, 0, 0))
     dw_spec = pl.BlockSpec((1, k, C, C), lambda b, t: (b, 0, 0, 0))
@@ -334,7 +335,7 @@ def _bwd_pallas(x, w, gamma, beta, xhat, rstd, dy, k, eps, interpret):
         ],
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
-    )(x, halo, w, gamma, beta, xhat, rstd, dy)
+    )(x, x, w, gamma, beta, xhat, rstd, dy)
     if k == 3:
         # Slab t's last output row drives input row 2*_TB*(t+1); that lands
         # in slab t+1's first row. The last slab never spills on the kernel
