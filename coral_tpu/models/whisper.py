@@ -1096,19 +1096,53 @@ def beam_generate(
                     unsat, hits, anc)
 
         def free_branch(_):
-            # HF processes log-probs, not logits; masks do NOT renormalise.
-            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            if suppress_ids is not None:
-                logp = logp.at[:, suppress_ids].set(-jnp.inf)
             if timestamps:
+                # The timestamp grammar inspects the full distribution
+                # (probability aggregates over the timestamp block), so the
+                # whole log-prob tensor is materialised on this path.
+                # HF processes log-probs, not logits; masks do NOT
+                # renormalise.
+                logp = jax.nn.log_softmax(
+                    logits.astype(jnp.float32), axis=-1
+                )
+                if suppress_ids is not None:
+                    logp = logp.at[:, suppress_ids].set(-jnp.inf)
                 logp = apply_timestamp_rules(
                     logp, run_seq.reshape(B * K, max_length), pos, n_forced,
                     timestamp_begin, eos_id,
                 )
-            cand = logp.reshape(B, K, V) + run_scores[:, :, None]
-            scores2k, flat_idx = jax.lax.top_k(cand.reshape(B, K * V), K2)
-            parent = flat_idx // V  # (B, K2)
-            token = (flat_idx % V).astype(jnp.int32)
+                cand = logp.reshape(B, K, V) + run_scores[:, :, None]
+                scores2k, flat_idx = jax.lax.top_k(
+                    cand.reshape(B, K * V), K2
+                )
+                parent = flat_idx // V  # (B, K2)
+                token = (flat_idx % V).astype(jnp.int32)
+            else:
+                # Exact two-stage top-k: the global top-K2 of
+                # ``logp + run_score`` contains at most K2 entries from any
+                # one beam row, and within a row the +run_score/-lse shift
+                # is monotone — so a per-row top-K2 on RAW logits (the full
+                # (B*K, V) log_softmax never materialises) followed by a
+                # (B, K*K2) combine reproduces HF's flat top-k. The lse is
+                # computed over the UNSUPPRESSED logits (HF suppresses
+                # after the softmax, without renormalising); suppression
+                # only has to keep those ids out of the selection.
+                logits32 = logits.astype(jnp.float32)
+                lse = jax.nn.logsumexp(logits32, axis=-1, keepdims=True)
+                sel_from = (
+                    logits32.at[:, suppress_ids].set(-jnp.inf)
+                    if suppress_ids is not None else logits32
+                )
+                vals, idx = jax.lax.top_k(sel_from, K2)  # (B*K, K2) each
+                logp_top = vals - lse
+                cand = (
+                    logp_top.reshape(B, K, K2) + run_scores[:, :, None]
+                )
+                scores2k, sel = jax.lax.top_k(cand.reshape(B, K * K2), K2)
+                parent = sel // K2  # (B, K2)
+                token = jnp.take_along_axis(
+                    idx.reshape(B, K * K2), sel, axis=1
+                ).astype(jnp.int32)
 
             seq2k = jnp.take_along_axis(run_seq, parent[:, :, None], axis=1)
             seq2k = jax.lax.dynamic_update_slice(
