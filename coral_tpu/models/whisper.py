@@ -51,6 +51,15 @@ REMAT_POLICIES = {
         "attn_in", "q", "k", "v", "attn_ctx", "cross_in", "cross_q",
         "cross_attn_ctx", "ffn_in", "flash_o", "flash_l", "flash_m",
     ),
+    # Memory-lean middle ground for the large models: keep only the flash
+    # kernel's VJP residuals (so neither the remat replay nor the backward
+    # re-runs the T=1500 flash forward) plus the attention outputs the
+    # out-projection dWs read; the cheap LN/projection matmuls replay.
+    # ~2 saved (B, T, D) tensors per layer instead of save_matmul_inputs'
+    # 7+, moving the whisper-large-v3-turbo HBM batch frontier.
+    "save_flash_ctx": jax.checkpoint_policies.save_only_these_names(
+        "attn_ctx", "cross_attn_ctx", "flash_o", "flash_l", "flash_m",
+    ),
 }
 
 
