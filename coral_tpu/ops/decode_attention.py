@@ -38,6 +38,28 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 _VMEM_BUDGET = 10 * 1024 * 1024
+# Batch rows per grid step: the kernels are DMA-bound (compute per token is
+# trivial), and one batch row per step reads the cache in chunks too small
+# to hit HBM streaming rate (measured 160 GB/s greedy / 343 GB/s beam=5 on
+# whisper-small vs the cross kernel's 709 at S=1500). Blocking more rows
+# into one step makes each DMA bigger; block sets beyond the default 16 MB
+# scope get an explicit vmem_limit (v5e has 128 MB physical VMEM).
+_DECODE_BB_BUDGET = 48 * 1024 * 1024
+_COMPILER_PARAMS_BIG = pltpu.CompilerParams(
+    vmem_limit_bytes=112 * 1024 * 1024
+)
+
+
+def _batch_block(B: int, slab_rows: int, HDg: int, itemsize: int) -> int:
+    """Largest divisor of B whose double-buffered k+v block set fits the
+    decode VMEM budget."""
+    best = 1
+    for bb in range(1, B + 1):
+        if B % bb:
+            continue
+        if 4 * bb * slab_rows * HDg * itemsize <= _DECODE_BB_BUDGET:
+            best = bb
+    return best
 
 
 def _head_groups(HD: int, head_dim: int, slab_rows: int, itemsize: int,
@@ -57,44 +79,47 @@ def _head_groups(HD: int, head_dim: int, slab_rows: int, itemsize: int,
 def _self_kernel(lidx_ref, q_ref, k_ref, v_ref, oh_ref, o_ref, *,
                  head_dim: int, scale: float):
     del lidx_ref  # consumed by the index maps
-    _, _, K, T, HDg = k_ref.shape
-    kf = k_ref[0, 0].reshape(K * T, HDg)
-    vf = v_ref[0, 0].reshape(K * T, HDg)
-    q = q_ref[0]  # (K, HDg)
-    oh = oh_ref[0]  # (K, K*T)
-    for h in range(HDg // head_dim):
-        lanes = slice(h * head_dim, (h + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, lanes], kf[:, lanes], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (K, K*T)
-        s = jnp.where(oh > 0, s, _NEG)
-        p = jax.nn.softmax(s, axis=-1)
-        o = jax.lax.dot_general(
-            p.astype(vf.dtype), vf[:, lanes], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, lanes] = o.astype(o_ref.dtype)
+    _, BB, K, T, HDg = k_ref.shape
+    for b in range(BB):
+        kf = k_ref[0, b].reshape(K * T, HDg)
+        vf = v_ref[0, b].reshape(K * T, HDg)
+        q = q_ref[b]  # (K, HDg)
+        oh = oh_ref[b]  # (K, K*T)
+        for h in range(HDg // head_dim):
+            lanes = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q[:, lanes], kf[:, lanes], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (K, K*T)
+            s = jnp.where(oh > 0, s, _NEG)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jax.lax.dot_general(
+                p.astype(vf.dtype), vf[:, lanes], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, lanes] = o.astype(o_ref.dtype)
 
 
 def _cross_kernel(lidx_ref, q_ref, k_ref, v_ref, o_ref, *, head_dim: int,
                   scale: float):
     del lidx_ref
-    kf = k_ref[0, 0]  # (S, HDg)
-    vf = v_ref[0, 0]
-    q = q_ref[0]  # (K, HDg)
-    for h in range(kf.shape[1] // head_dim):
-        lanes = slice(h * head_dim, (h + 1) * head_dim)
-        s = jax.lax.dot_general(
-            q[:, lanes], kf[:, lanes], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (K, S)
-        p = jax.nn.softmax(s, axis=-1)
-        o = jax.lax.dot_general(
-            p.astype(vf.dtype), vf[:, lanes], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        o_ref[0, :, lanes] = o.astype(o_ref.dtype)
+    _, BB, _, HDg = k_ref.shape
+    for b in range(BB):
+        kf = k_ref[0, b]  # (S, HDg)
+        vf = v_ref[0, b]
+        q = q_ref[b]  # (K, HDg)
+        for h in range(HDg // head_dim):
+            lanes = slice(h * head_dim, (h + 1) * head_dim)
+            s = jax.lax.dot_general(
+                q[:, lanes], kf[:, lanes], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (K, S)
+            p = jax.nn.softmax(s, axis=-1)
+            o = jax.lax.dot_general(
+                p.astype(vf.dtype), vf[:, lanes], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, lanes] = o.astype(o_ref.dtype)
 
 
 def decode_self_attention(
@@ -149,20 +174,21 @@ def decode_self_attention(
         return o.reshape(B * K, HD).astype(q.dtype)
 
     G = _head_groups(HD, head_dim, K * T, cache_k.dtype.itemsize, 2)
+    BB = _batch_block(B, K * T, HD // G, cache_k.dtype.itemsize)
     # Leading-dim splits (free metadata reshapes) give blocks whose last two
     # dims equal the array dims — the Mosaic block-shape requirement for the
     # non-8-aligned K axis.
     q3 = q.reshape(B, K, HD)
     k5 = cache_k.reshape(L, B, K, T, HD)
     v5 = cache_v.reshape(L, B, K, T, HD)
-    q_spec = pl.BlockSpec((1, K, HD // G), lambda b, g, lref: (b, 0, g))
+    q_spec = pl.BlockSpec((BB, K, HD // G), lambda b, g, lref: (b, 0, g))
     kv_spec = pl.BlockSpec(
-        (1, 1, K, T, HD // G), lambda b, g, lref: (lref[0], b, 0, 0, g)
+        (1, BB, K, T, HD // G), lambda b, g, lref: (lref[0], b, 0, 0, g)
     )
-    oh_spec = pl.BlockSpec((1, K, KT), lambda b, g, lref: (b, 0, 0))
+    oh_spec = pl.BlockSpec((BB, K, KT), lambda b, g, lref: (b, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, G),
+        grid=(B // BB, G),
         in_specs=[q_spec, kv_spec, kv_spec, oh_spec],
         out_specs=q_spec,
     )
@@ -171,6 +197,7 @@ def decode_self_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS_BIG,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), q3, k5, v5, onehot)
     return out.reshape(B * K, HD)
 
@@ -220,14 +247,15 @@ def decode_cross_attention(
         return o.reshape(B * K, HD).astype(q.dtype)
 
     G = _head_groups(HD, head_dim, S, k.dtype.itemsize, 2)
+    BB = _batch_block(B, S, HD // G, k.dtype.itemsize)
     q3 = q.reshape(B, K, HD)
-    q_spec = pl.BlockSpec((1, K, HD // G), lambda b, g, lref: (b, 0, g))
+    q_spec = pl.BlockSpec((BB, K, HD // G), lambda b, g, lref: (b, 0, g))
     kv_spec = pl.BlockSpec(
-        (1, 1, S, HD // G), lambda b, g, lref: (lref[0], b, 0, g)
+        (1, BB, S, HD // G), lambda b, g, lref: (lref[0], b, 0, g)
     )
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(B, G),
+        grid=(B // BB, G),
         in_specs=[q_spec, kv_spec, kv_spec],
         out_specs=q_spec,
     )
@@ -236,5 +264,6 @@ def decode_cross_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS_BIG,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), q3, k, v)
     return out.reshape(B * K, HD)

@@ -151,6 +151,15 @@ def verify_attention_pallas():
     for name, a, b in zip(("dq", "dk", "dv"), g_stats2, g_ref):
         check(f"save_stats_v2 backward {name}", a, b, growth=3.0)
 
+    # save_stats v3: v2's fwd; bwd reads o for the flash delta identity
+    stats3 = jax.jit(
+        lambda q, k, v: short_t_attention(q, k, v, mask, save_stats="v3")
+    )
+    check("save_stats_v3 forward", stats3(q, k, v), ref(q, k, v))
+    g_stats3 = jax.jit(jax.grad(loss(stats3), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g_stats3, g_ref):
+        check(f"save_stats_v3 backward {name}", a, b, growth=3.0)
+
     # o-residual variant (the production flat path): flash-style delta bwd
     from coral_tpu.ops.attention_pallas import short_t_attention_flat
 
