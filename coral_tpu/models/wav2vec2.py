@@ -132,6 +132,15 @@ class Wav2Vec2Config:
     # tensor's HBM round-trips (pre-LN architecture only; the LN has a
     # single consumer).
     fused_qkv_ln: bool = False
+    # Apply the q/k/v PROJECTION biases inside the attention kernel: the
+    # Dense projections run bias-free and the (D,) biases ride into the
+    # kernel, whose backward emits dbq/dbk/dbv as in-register row sums —
+    # XLA otherwise re-reads the 3 (B, T, D) projection cotangents from HBM
+    # (~0.2 ms/layer at B=48 x 10 s, measured at HBM peak) just for the
+    # bias grads. Requires attention_impl="pallas" +
+    # attention_save_stats="v3"; mutually exclusive with fused_qkv_ln
+    # (which already owns the biases). Bit-identical values.
+    attention_fused_qkv_bias: bool = False
     # Positional conv via a factor-2 space-to-depth fold: the (k, C/g -> C/g)
     # grouped conv becomes a (k/2+1, 2C/g -> 2C/g) conv at half the sequence
     # length — identical FLOPs but full 128-lane MXU tiles instead of the
@@ -482,6 +491,11 @@ class Attention(nn.Module):
         def proj(name):
             return nn.Dense(D, dtype=cfg.dtype, name=name)
 
+        if ln is not None and cfg.attention_fused_qkv_bias:
+            raise ValueError(
+                "attention_fused_qkv_bias is mutually exclusive with "
+                "fused_qkv_ln (the LN fold already owns the q/k/v biases)"
+            )
         if ln is not None:
             # Pre-attention LN folded into one packed (D, 3D) QKV projection
             # kernel (fused_qkv_ln). Parameters keep the nn.Dense tree paths;
@@ -500,10 +514,43 @@ class Attention(nn.Module):
             q = checkpoint_name(qkv[:, :, :D], "q")
             k = checkpoint_name(qkv[:, :, D:2 * D], "k")
             v = checkpoint_name(qkv[:, :, 2 * D:], "v")
+            qkv_bias = None
+        elif cfg.attention_fused_qkv_bias:
+            if cfg.attention_impl != "pallas" or (
+                cfg.attention_save_stats != "v3"
+            ):
+                # Fail loudly: falling through to the unfused path would
+                # silently measure the wrong thing (the round-3 advisor's
+                # silent-config-no-op trap class).
+                raise ValueError(
+                    "attention_fused_qkv_bias requires "
+                    "attention_impl='pallas' and attention_save_stats='v3' "
+                    f"(got {cfg.attention_impl!r} / "
+                    f"{cfg.attention_save_stats!r})"
+                )
+            # Bias-free projections; the (D,) biases apply inside the
+            # attention kernel, whose backward emits dbq/dbk/dbv as
+            # in-register row sums (XLA otherwise re-reads the 3 (B, T, D)
+            # cotangents from HBM at ~0.2 ms/layer just for the bias
+            # grads). Values are bit-identical to the Dense bias add; the
+            # "q"/"k"/"v" checkpoint names land on the PRE-bias values the
+            # backward kernel actually consumes. Parameters keep the
+            # nn.Dense tree paths.
+            mm = lambda w: jax.lax.dot_general(  # noqa: E731
+                x, w.astype(cfg.dtype), (((2,), (0,)), ((), ())),
+            )
+            wq, bq = _DenseParams(D, D, name="q_proj")()
+            wk, bk = _DenseParams(D, D, name="k_proj")()
+            wv, bv = _DenseParams(D, D, name="v_proj")()
+            q = checkpoint_name(mm(wq), "q")
+            k = checkpoint_name(mm(wk), "k")
+            v = checkpoint_name(mm(wv), "v")
+            qkv_bias = (bq, bk, bv)
         else:
             q = checkpoint_name(proj("q_proj")(x), "q")
             k = checkpoint_name(proj("k_proj")(x), "k")
             v = checkpoint_name(proj("v_proj")(x), "v")
+            qkv_bias = None
 
         if cfg.attention_impl == "pallas":
             from ..ops.attention_pallas import short_t_attention_flat
@@ -518,6 +565,7 @@ class Attention(nn.Module):
                 q, k, v, pad_mask, head_dim,
                 save_stats=cfg.attention_save_stats,
                 o_residual=cfg.attention_o_residual,
+                qkv_bias=qkv_bias,
             )
             named_inside = (
                 # o_residual names "attn_ctx" on the residual var itself;

@@ -234,6 +234,117 @@ def _bwd_kernel_stats(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
             cur = nxt
 
 
+def _fwd_kernel_stats_v2_qb(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref,
+                            bias_ref, o_ref, lse_ref, *, sm_scale: float,
+                            head_dim: int):
+    """v2 stats forward with the q/k/v PROJECTION biases applied in-kernel
+    (``attention_fused_qkv_bias``): the model's projections run bias-free
+    and the (HD,) biases ride in as vectors, so the backward can emit the
+    bias gradients as in-register row sums instead of XLA re-reading the
+    3 x (B, T, D) cotangents from HBM (3 x ~0.067 ms/layer at B=48 x 10 s,
+    measured at HBM peak — unimprovable outside the kernel). Numerics are
+    identical to the Dense bias add (bf16 q + bf16 bias, scale applied
+    after)."""
+    bias = bias_ref[0]  # (1, T), broadcasts over query rows
+    n_heads = q_ref.shape[2] // head_dim
+    lse_rows = []
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = (q_ref[0, :, lanes] + bq_ref[0, lanes]) * jnp.asarray(
+            sm_scale, q_ref.dtype
+        )
+        k = k_ref[0, :, lanes] + bk_ref[0, lanes]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        v = v_ref[0, :, lanes] + bv_ref[0, lanes]
+        s = s + bias
+        m = jnp.max(s, axis=1, keepdims=True)   # (T, 1)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=1, keepdims=True)   # (T, 1)
+        o = jax.lax.dot_general(
+            e.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, :, lanes] = (o / l).astype(o_ref.dtype)
+        # Same fully-masked-row clamp as the other stats forwards.
+        lse_col = jnp.maximum(m + jnp.log(l), -1e25)  # (T, 1)
+        lse_rows.append(lse_col.reshape(1, -1))       # (1, T) relayout
+    lse_ref[0] = jnp.concatenate(lse_rows, axis=0)
+
+
+def _bwd_kernel_stats_ctx_qb(q_ref, k_ref, v_ref, bq_ref, bk_ref, bv_ref,
+                             bias_ref, do_ref, lse_ref, o_ref,
+                             dq_ref, dk_ref, dv_ref, dbv_ref, *,
+                             sm_scale: float, head_dim: int):
+    """v3 stats backward with in-kernel projection biases: identical math to
+    ``_bwd_kernel_stats_ctx`` on (q+bq, k+bk, v+bv), plus per-batch-row
+    bias-gradient partials. dq/dk/dv are unchanged by the bias adds (the
+    add's VJP is identity), and dbq/dbk are plain row sums of dq/dk that
+    the CALLER computes from this kernel's dq/dk outputs... except those
+    XLA reduces are exactly what this variant exists to avoid — so all
+    three are emitted here as one (1, 3, HDg) block of row-sums per batch
+    row."""
+    bias_c = bias_ref[0]  # (T, 1)
+    n_heads = q_ref.shape[2] // head_dim
+    for h in range(n_heads):
+        lanes = slice(h * head_dim, (h + 1) * head_dim)
+        q = (q_ref[0, :, lanes] + bq_ref[0, lanes]) * jnp.asarray(
+            sm_scale, q_ref.dtype
+        )
+        k = k_ref[0, :, lanes] + bk_ref[0, lanes]
+        st = jax.lax.dot_general(
+            k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (Tk, Tq)
+        v = v_ref[0, :, lanes] + bv_ref[0, lanes]
+        do = do_ref[0, :, lanes]
+        o = o_ref[0, :, lanes]
+        lse = lse_ref[0, h:h + 1, :]  # (1, Tq) row
+
+        p = jnp.exp(st + bias_c - lse)
+        delta_col = jnp.sum(
+            do.astype(jnp.float32) * o.astype(jnp.float32),
+            axis=1, keepdims=True,
+        )  # (Tq, 1)
+        delta = delta_col.reshape(1, -1)  # (1, Tq) row
+
+        pb = p.astype(q.dtype)
+        dv = jax.lax.dot_general(
+            pb, do, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, d)
+        dp = jax.lax.dot_general(
+            v, do, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, Tq)
+        ds = (p * (dp - delta)).astype(q.dtype)  # (Tk, Tq)
+        dq = jax.lax.dot_general(
+            ds, k, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale  # (Tq, d)
+        dk = jax.lax.dot_general(
+            ds, q, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Tk, d)
+        dqb = dq.astype(dq_ref.dtype)
+        dkb = dk.astype(dk_ref.dtype)
+        dvb = dv.astype(dv_ref.dtype)
+        dq_ref[0, :, lanes] = dqb
+        dk_ref[0, :, lanes] = dkb
+        dv_ref[0, :, lanes] = dvb
+        # Bias-grad partials: row sums of the (bf16-rounded, exactly what
+        # XLA's reduce would consume) cotangents, f32 accumulation.
+        dbv_ref[0, 0:1, lanes] = jnp.sum(
+            dqb.astype(jnp.float32), axis=0, keepdims=True
+        )
+        dbv_ref[0, 1:2, lanes] = jnp.sum(
+            dkb.astype(jnp.float32), axis=0, keepdims=True
+        )
+        dbv_ref[0, 2:3, lanes] = jnp.sum(
+            dvb.astype(jnp.float32), axis=0, keepdims=True
+        )
+
+
 def _bwd_kernel_stats_ctx(q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref,
                           o_ref, dq_ref, dk_ref, dv_ref, *, sm_scale: float,
                           head_dim: int):
@@ -597,6 +708,64 @@ def _bwd_pallas_stats_ctx(q, k, v, bias, do, lse, o, sm_scale, head_dim,
     )(q, k, v, bias_c, do, lse, o)
 
 
+def _bvec_spec(HD, groups):
+    # (1, HD) projection-bias vectors, lane-grouped like q/k/v.
+    return pl.BlockSpec((1, HD // groups), lambda b, g: (0, g))
+
+
+def _fwd_pallas_stats_v2_qb(q, k, v, bq, bk, bv, bias, sm_scale, head_dim,
+                            interpret):
+    B, T, HD = q.shape
+    H = HD // head_dim
+    groups = _head_groups(
+        HD, head_dim, n_blocks=5, T=T, itemsize=q.dtype.itemsize
+    )
+    qkv_spec, bias_spec = _specs(T, HD, groups)
+    bv_spec = _bvec_spec(HD, groups)
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_stats_v2_qb, sm_scale=sm_scale, head_dim=head_dim
+        ),
+        grid=(B, groups),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bv_spec, bv_spec, bv_spec,
+                  bias_spec],
+        out_specs=[qkv_spec, _lse_spec(T, H, groups)],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, H, T), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, bq.reshape(1, HD), bk.reshape(1, HD), bv.reshape(1, HD), bias)
+
+
+def _bwd_pallas_stats_ctx_qb(q, k, v, bq, bk, bv, bias, do, lse, o, sm_scale,
+                             head_dim, interpret):
+    B, T, HD = q.shape
+    H = HD // head_dim
+    groups = _head_groups(
+        HD, head_dim, n_blocks=9, T=T, itemsize=q.dtype.itemsize
+    )
+    qkv_spec, _ = _specs(T, HD, groups)
+    bv_spec = _bvec_spec(HD, groups)
+    db_spec = pl.BlockSpec((1, 3, HD // groups), lambda b, g: (b, 0, g))
+    bias_c = jnp.swapaxes(bias, 1, 2)
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel_stats_ctx_qb, sm_scale=sm_scale, head_dim=head_dim
+        ),
+        grid=(B, groups),
+        in_specs=[qkv_spec, qkv_spec, qkv_spec, bv_spec, bv_spec, bv_spec,
+                  _bias_col_spec(T), qkv_spec, _lse_spec(T, H, groups),
+                  qkv_spec],
+        out_specs=[qkv_spec, qkv_spec, qkv_spec, db_spec],
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)] * 3 + [
+            jax.ShapeDtypeStruct((B, 3, HD), jnp.float32)
+        ],
+        interpret=interpret,
+    )(q, k, v, bq.reshape(1, HD), bk.reshape(1, HD), bv.reshape(1, HD),
+      bias_c, do, lse, o)
+
+
 # ---------------------------------------------------------------------------
 # GSPMD partitioning
 #
@@ -892,6 +1061,106 @@ def _bwd_stats_ctx_cp(sm_scale, head_dim, interpret):
     return f
 
 
+def _bv_sharding(sharding, mesh):
+    """(HD,) bias vectors: the q/k/v lane (TP head) spec lands on dim 0."""
+    spec = [None]
+    if isinstance(sharding, NamedSharding):
+        got = list(sharding.spec) + [None] * 3
+        spec[0] = got[2]
+    return NamedSharding(mesh, P(*spec))
+
+
+def _db_sharding(sharding, mesh):
+    """(B, 3, HD) bias-grad partials: batch on dim 0, TP lanes on dim 2."""
+    spec = [None] * 3
+    if isinstance(sharding, NamedSharding):
+        got = list(sharding.spec) + [None] * 3
+        spec[0], spec[2] = got[0], got[2]
+    return NamedSharding(mesh, P(*spec))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_stats_v2_qb_cp(sm_scale, head_dim, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bq, bk, bv, bias: _fwd_pallas_stats_v2_qb(
+            q, k, v, bq, bk, bv, bias, sm_scale, head_dim, interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        return (sh, _lse_sharding(arg_infos[0].sharding, mesh))
+
+    def partition(mesh, arg_infos, result_infos):
+        out_sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        lse_sh = _lse_sharding(arg_infos[0].sharding, mesh)
+        bv_sh = _bv_sharding(arg_infos[0].sharding, mesh)
+        batch_spec = out_sh.spec[0]
+        arg_shs = (
+            out_sh, out_sh, out_sh, bv_sh, bv_sh, bv_sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+        )
+        lower = functools.partial(
+            _fwd_pallas_stats_v2_qb, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
+        )
+        return mesh, lower, (out_sh, lse_sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b t (e f), b t (e f), b t (e f), (e f), (e f), (e f), b u t "
+            "-> b t (e f), b e t"
+        ),
+        f=head_dim,
+    )
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_stats_ctx_qb_cp(sm_scale, head_dim, interpret):
+    f = custom_partitioning(
+        lambda q, k, v, bq, bk, bv, bias, do, lse, o:
+        _bwd_pallas_stats_ctx_qb(
+            q, k, v, bq, bk, bv, bias, do, lse, o, sm_scale, head_dim,
+            interpret
+        )
+    )
+
+    def infer(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        return (sh, sh, sh, _db_sharding(arg_infos[0].sharding, mesh))
+
+    def partition(mesh, arg_infos, result_infos):
+        sh = _bh_only(arg_infos[0].sharding, mesh, 3)
+        db_sh = _db_sharding(arg_infos[0].sharding, mesh)
+        bv_sh = _bv_sharding(arg_infos[0].sharding, mesh)
+        batch_spec = sh.spec[0]
+        arg_shs = (
+            sh, sh, sh, bv_sh, bv_sh, bv_sh,
+            NamedSharding(mesh, P(batch_spec, None, None)),
+            sh, _lse_sharding(arg_infos[0].sharding, mesh), sh,
+        )
+        lower = functools.partial(
+            _bwd_pallas_stats_ctx_qb, sm_scale=sm_scale, head_dim=head_dim,
+            interpret=interpret,
+        )
+        return mesh, lower, (sh, sh, sh, db_sh), arg_shs
+
+    f.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule=(
+            "b t (e f), b t (e f), b t (e f), (e f), (e f), (e f), b u t, "
+            "b t (e f), b e t, b t (e f) -> "
+            "b t (e f), b t (e f), b t (e f), b r (e f)"
+        ),
+        f=head_dim,
+    )
+    return f
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _attention(q, k, v, bias, sm_scale, head_dim, interpret):
     o, _ = _attention_fwd(q, k, v, bias, sm_scale, head_dim, interpret)
@@ -1034,6 +1303,44 @@ def _attention_stats_v3_bwd(sm_scale, head_dim, interpret, res, do):
 _attention_stats_v3.defvjp(_attention_stats_v3_fwd, _attention_stats_v3_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _attention_stats_v3_qb(q, k, v, bq, bk, bv, bias, sm_scale, head_dim,
+                           interpret):
+    o, _ = _attention_stats_v3_qb_fwd(
+        q, k, v, bq, bk, bv, bias, sm_scale, head_dim, interpret
+    )
+    return o
+
+
+def _attention_stats_v3_qb_fwd(q, k, v, bq, bk, bv, bias, sm_scale, head_dim,
+                               interpret):
+    from jax.ad_checkpoint import checkpoint_name
+
+    o, lse = _fwd_stats_v2_qb_cp(sm_scale, head_dim, interpret)(
+        q, k, v, bq, bk, bv, bias
+    )
+    lse = checkpoint_name(lse, "attn_lse")
+    o = checkpoint_name(o, "attn_ctx")
+    return o, (q, k, v, bq, bk, bv, bias, lse, o)
+
+
+def _attention_stats_v3_qb_bwd(sm_scale, head_dim, interpret, res, do):
+    q, k, v, bq, bk, bv, bias, lse, o = res
+    dq, dk, dv, db = _bwd_stats_ctx_qb_cp(sm_scale, head_dim, interpret)(
+        q, k, v, bq, bk, bv, bias, do, lse, o
+    )
+    # Per-batch-row partials -> (HD,); under a sharded batch GSPMD inserts
+    # the cross-shard psum here.
+    dbsum = jnp.sum(db, axis=0)
+    return (dq, dk, dv, dbsum[0].astype(bq.dtype), dbsum[1].astype(bk.dtype),
+            dbsum[2].astype(bv.dtype), None)
+
+
+_attention_stats_v3_qb.defvjp(
+    _attention_stats_v3_qb_fwd, _attention_stats_v3_qb_bwd
+)
+
+
 def short_t_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -1082,6 +1389,7 @@ def short_t_attention_flat(
     interpret: bool | None = None,
     save_stats: bool = False,
     o_residual: bool = True,
+    qkv_bias: tuple | None = None,
 ) -> jnp.ndarray:
     """``short_t_attention`` on the flat (B, T, H*d) projection layout.
 
@@ -1106,6 +1414,14 @@ def short_t_attention_flat(
     # a uniform distribution instead of exp(-inf + inf) = NaN poisoning the
     # summed loss.
     bias = jnp.where(pad_mask, 0.0, -1e30).astype(jnp.float32)[:, None, :]
+    if qkv_bias is not None:
+        # Projection biases applied in-kernel (requires the v3 stats path);
+        # the backward emits dbq/dbk/dbv as in-register row sums.
+        assert save_stats == "v3", "qkv_bias requires save_stats='v3'"
+        bq, bk, bv = (b.astype(q.dtype) for b in qkv_bias)
+        return _attention_stats_v3_qb(
+            q, k, v, bq, bk, bv, bias, sm_scale, head_dim, interpret
+        )
     if save_stats == "v3":
         # v2's forward; the backward reads BOTH policy-saved residuals
         # (lse for the one-pass p rebuild, o for the flash delta identity).

@@ -160,6 +160,13 @@ class Wav2Vec2Setup:
                 model_cfg.get("fused_ffn_ln", model_cfg.get("fused_ffn", True))
             ),
             fused_qkv_ln=bool(model_cfg.get("fused_qkv_ln", False)),
+            # q/k/v projection biases applied inside the attention kernel
+            # (requires attention_impl=pallas + attention_save_stats=v3;
+            # the model raises on misconfiguration rather than silently
+            # falling back).
+            attention_fused_qkv_bias=bool(
+                model_cfg.get("attention_fused_qkv_bias", False)
+            ),
             # Whole-FFN block VJP (fc1 kernel + fc2 in one custom_vjp; the
             # remat replay DCEs the FFN forward): 892.9 vs 871.1 audio-s/s
             # at B=48 on the round-4 A/B — adopted.

@@ -250,6 +250,131 @@ def test_save_stats_fully_masked_row_grads():
         assert np.all(np.asarray(gr(stats, arg))[1] == 0.0)
 
 
+def test_qkv_bias_in_kernel_matches_bias_outside(qkv):
+    """attention_fused_qkv_bias: the kernel applied to bias-free projections
+    plus in-kernel (D,) biases must match the plain v3 kernel applied to
+    biased projections — on values, q/k/v grads, AND the bias grads (which
+    the qb backward emits as in-register row sums instead of XLA reducing
+    the (B, T, D) cotangents from HBM)."""
+    from coral_tpu.ops.attention_pallas import short_t_attention_flat
+
+    q, k, v, pad = qkv
+    B, T, H, d = q.shape
+    D = H * d
+    qf, kf, vf = (x.reshape(B, T, D) for x in (q, k, v))
+    rng = np.random.default_rng(9)
+    bq, bk, bv = (
+        jnp.asarray(rng.standard_normal(D), jnp.float32) for _ in range(3)
+    )
+
+    def ref_fn(qf, kf, vf, bq, bk, bv):
+        return short_t_attention_flat(
+            qf + bq, kf + bk, vf + bv, pad, d, save_stats="v3"
+        )
+
+    def qb_fn(qf, kf, vf, bq, bk, bv):
+        return short_t_attention_flat(
+            qf, kf, vf, pad, d, save_stats="v3", qkv_bias=(bq, bk, bv)
+        )
+
+    out_qb = qb_fn(qf, kf, vf, bq, bk, bv)
+    out_ref = ref_fn(qf, kf, vf, bq, bk, bv)
+    np.testing.assert_allclose(out_qb, out_ref, atol=1e-5)
+
+    def loss(fn, *args):
+        return jnp.sum(jnp.sin(fn(*args)) * jnp.cos(args[0]))
+
+    g_qb = jax.grad(
+        lambda *a: loss(qb_fn, *a), argnums=tuple(range(6))
+    )(qf, kf, vf, bq, bk, bv)
+    g_ref = jax.grad(
+        lambda *a: loss(ref_fn, *a), argnums=tuple(range(6))
+    )(qf, kf, vf, bq, bk, bv)
+    for a, b in zip(g_qb, g_ref):
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_encoder_layer_fused_qkv_bias_parity():
+    """attention_fused_qkv_bias keeps the nn.Dense tree paths and matches
+    the plain encoder layer (same params), forward and grads — including
+    the q/k/v projection bias grads, which the qb kernel emits in-register."""
+    from coral_tpu.models.wav2vec2 import EncoderLayer, Wav2Vec2Config
+
+    base = dict(
+        hidden_size=128, intermediate_size=256, num_attention_heads=2,
+        attention_impl="pallas", attention_save_stats="v3",
+        encoder_ln_impl="xla", hidden_dropout=0.0, activation_dropout=0.0,
+    )
+    x = jnp.asarray(
+        np.random.default_rng(11).standard_normal((2, 24, 128)), jnp.float32
+    )
+    mask = jnp.ones((2, 24), bool)
+    outs, params = [], []
+    for qb in (False, True):
+        cfg = Wav2Vec2Config(attention_fused_qkv_bias=qb, **base)
+        mod = EncoderLayer(cfg)
+        p = mod.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            x, mask, False,
+        )
+        params.append(p)
+
+        def loss(p, mod=mod):
+            y, _ = mod.apply(p, x, mask, False,
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(y * jnp.sin(jnp.arange(y.shape[-1]))), y
+
+        (val, y), grads = jax.value_and_grad(loss, has_aux=True)(p)
+        outs.append((y, grads))
+    assert jax.tree_util.tree_structure(params[0]) == (
+        jax.tree_util.tree_structure(params[1])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[0][0]), np.asarray(outs[1][0]), atol=2e-5
+    )
+    flat0 = jax.tree_util.tree_leaves_with_path(outs[0][1])
+    flat1 = jax.tree_util.tree_leaves_with_path(outs[1][1])
+    for (p0, g0), (p1, g1) in zip(flat0, flat1):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(g0), np.asarray(g1), atol=5e-4, rtol=1e-4,
+            err_msg=jax.tree_util.keystr(p0),
+        )
+
+
+def test_qkv_bias_misconfiguration_raises():
+    """attention_fused_qkv_bias without its prerequisites (pallas + v3
+    stats) or combined with fused_qkv_ln must fail loudly, not silently
+    run the unfused path."""
+    import pytest
+
+    from coral_tpu.models.wav2vec2 import EncoderLayer, Wav2Vec2Config
+
+    base = dict(
+        hidden_size=128, intermediate_size=256, num_attention_heads=2,
+        encoder_ln_impl="xla", hidden_dropout=0.0, activation_dropout=0.0,
+    )
+    x = jnp.zeros((1, 8, 128), jnp.float32)
+    mask = jnp.ones((1, 8), bool)
+    bad = [
+        dict(attention_fused_qkv_bias=True, attention_impl="xla"),
+        dict(attention_fused_qkv_bias=True, attention_impl="pallas",
+             attention_save_stats="v2"),
+        dict(attention_fused_qkv_bias=True, attention_impl="pallas",
+             attention_save_stats="v3", fused_qkv_ln=True),
+    ]
+    for kw in bad:
+        cfg = Wav2Vec2Config(**base, **kw)
+        mod = EncoderLayer(cfg)
+        with pytest.raises(ValueError):
+            mod.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                x, mask, False,
+            )
+
+
 def test_padding_is_ignored(qkv):
     """Values beyond a row's length must not influence its output."""
     q, k, v, pad = qkv

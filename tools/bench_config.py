@@ -78,6 +78,10 @@ def main() -> None:
     p.add_argument("--fused-qkv-ln", action="store_true",
                    help="fold the pre-attention LN into a packed QKV "
                         "projection kernel (ops/ffn_pallas.py ln_dense)")
+    p.add_argument("--qkv-bias", action="store_true",
+                   help="apply the q/k/v projection biases inside the "
+                        "attention kernel (requires --attn-stats v3); the "
+                        "backward emits dbq/dbk/dbv as in-register row sums")
     p.add_argument("--attn-o", action="store_true",
                    help="enable the o-residual (flash-delta) attention "
                         "backward (measured slower on the round-4 A/B; "
@@ -125,6 +129,7 @@ def main() -> None:
         fused_ffn_block_fc2=args.ffn_block_fc2,
         fused_ffn_block_dg=args.ffn_block_dg,
         fused_qkv_ln=args.fused_qkv_ln,
+        attention_fused_qkv_bias=args.qkv_bias,
         pos_conv_fold=args.pos_fold,
         attention_o_residual=args.attn_o,
     )
@@ -214,6 +219,7 @@ def main() -> None:
         "ffn_block_fc2": args.ffn_block_fc2,
         "ffn_block_dg": args.ffn_block_dg,
         "fused_qkv_ln": args.fused_qkv_ln,
+        "qkv_bias": args.qkv_bias,
         "pos_fold": args.pos_fold,
         "attn_o": args.attn_o,
         "ln": args.ln,
