@@ -174,6 +174,61 @@ def verify_attention_pallas():
     for name, a, b in zip(("dq", "dk", "dv"), g_ctx, g_ref):
         check(f"o_residual backward {name}", a, b, growth=3.0)
 
+    # qb variant: projection biases applied in-kernel, bias grads emitted
+    # as in-register row sums. Reference = the v3 flat path with the biases
+    # added outside (same kernels otherwise, so this isolates the qb diff).
+    rng_b = np.random.default_rng(5)
+    bqv, bkv, bvv = (
+        jnp.asarray(rng_b.standard_normal(H * d) * 0.1, q.dtype)
+        for _ in range(3)
+    )
+    qb = jax.jit(
+        lambda q, k, v: short_t_attention_flat(
+            flat(q), flat(k), flat(v), mask, d, save_stats="v3",
+            qkv_bias=(bqv, bkv, bvv),
+        ).reshape(B, T, H, d)
+    )
+    ref_qb = jax.jit(
+        lambda q, k, v: short_t_attention_flat(
+            flat(q) + bqv, flat(k) + bkv, flat(v) + bvv, mask, d,
+            save_stats="v3",
+        ).reshape(B, T, H, d)
+    )
+    check("qkv_bias forward", qb(q, k, v), ref_qb(q, k, v))
+    g_qb = jax.jit(jax.grad(loss(qb), argnums=(0, 1, 2)))(q, k, v)
+    g_rqb = jax.jit(jax.grad(loss(ref_qb), argnums=(0, 1, 2)))(q, k, v)
+    for name, a, b in zip(("dq", "dk", "dv"), g_qb, g_rqb):
+        check(f"qkv_bias backward {name}", a, b, growth=3.0)
+
+    def loss_b(f):
+        def inner(bq, bk, bv):
+            o = short_t_attention_flat(
+                flat(q), flat(k), flat(v), mask, d, save_stats="v3",
+                **f(bq, bk, bv),
+            )
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return inner
+
+    gb_qb = jax.jit(jax.grad(
+        loss_b(lambda bq, bk, bv: {"qkv_bias": (bq, bk, bv)}),
+        argnums=(0, 1, 2),
+    ))(bqv, bkv, bvv)
+
+    def ref_bias_loss(bq, bk, bv):
+        o = short_t_attention_flat(
+            flat(q) + bq, flat(k) + bk, flat(v) + bv, mask, d,
+            save_stats="v3",
+        )
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    gb_ref = jax.jit(jax.grad(ref_bias_loss, argnums=(0, 1, 2)))(
+        bqv, bkv, bvv
+    )
+    # growth covers the (B*T)-term row-sum reduction order difference
+    # (in-kernel f32 partials + cross-row sum vs XLA's reduce).
+    for name, a, b in zip(("dbq", "dbk", "dbv"), gb_qb, gb_ref):
+        check(f"qkv_bias backward {name}", a, b, growth=3.0)
+
 
 def verify_ln_gelu():
     """Fused LayerNorm(+GELU) fwd/bwd (feature-encoder kernel) vs XLA."""
