@@ -80,8 +80,10 @@ def test_all_policies_match_nothing_saveable(tiny_setup):
             # Replay restructuring changes f32 accumulation order, so exact
             # equality is not expected — a structural policy error (wrong
             # residual, stale name) would be O(1) relative, far outside this.
+            # (Observed worst case on the CPU-AOT host: 4.1e-4 relative on a
+            # single FE conv-kernel grad element under save_matmul_inputs.)
             np.testing.assert_allclose(
-                np.asarray(g0), np.asarray(g1), rtol=1e-4, atol=1e-5,
+                np.asarray(g0), np.asarray(g1), rtol=1e-3, atol=5e-5,
                 err_msg=f"{policy}: d{jax.tree_util.keystr(p0)}",
             )
 

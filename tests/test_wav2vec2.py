@@ -63,7 +63,14 @@ def test_forward_parity_full_batch(hf_model, our_setup):
         variables, jnp.asarray(audio), jnp.asarray(lengths), deterministic=True
     )
     assert ours.shape == theirs.shape
-    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=1e-4)
+    # atol derives from the production GELU tables: the short minimax fits
+    # (CORAL_GELU_POLY=short, adopted in the round-5 hardware A/B — see
+    # ops/gelu_dropout_pallas.py) carry a documented final-function error of
+    # <=1.85e-4 per GELU vs torch's exact erf oracle, which surfaces here as
+    # up to ~1.6e-4 in the logits. 5e-4 covers that while staying ~100x below
+    # any structural-parity error; with CORAL_GELU_POLY=f32 the observed max
+    # deviation is <1e-5.
+    np.testing.assert_allclose(np.asarray(ours), theirs, rtol=1e-4, atol=5e-4)
 
 
 def test_forward_parity_with_padding(hf_model, our_setup):
@@ -90,9 +97,10 @@ def test_forward_parity_with_padding(hf_model, our_setup):
     ).numpy()
     np.testing.assert_array_equal(valid, hf_valid)
     for b in range(B):
+        # Same short-GELU-table bound as test_forward_parity_full_batch.
         np.testing.assert_allclose(
             np.asarray(ours)[b, : valid[b]], theirs[b, : valid[b]],
-            rtol=1e-4, atol=1e-4,
+            rtol=1e-4, atol=5e-4,
         )
 
 
