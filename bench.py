@@ -167,9 +167,13 @@ def bench_e2e_subprocess() -> dict:
         keys = {
             "e2e_audio_sec_per_sec": result["value"],
             "e2e_note": "full finetune() loop w/ host batcher + prefetch; "
-                        "infeed rides the dev tunnel (~20-55 MB/s vs GB/s "
-                        "PCIe on a real TPU VM), so this number is a lower "
-                        "bound set by the link, not the framework",
+                        "the e2e_* fields carry the measured infeed "
+                        "arithmetic (bytes/step, raw link rate, and the "
+                        "step-time floor the link alone implies) so the "
+                        "loop-vs-step gap is attributable: round-5 "
+                        "measurement put the link at ~980 MB/s and 3% "
+                        "utilized — the residual gap is host-side loop "
+                        "overhead, not the link",
         }
         # The arithmetic behind the note (VERDICT r4, weak #5): measured
         # bytes/step, measured raw link rate, and the step-time floor the
@@ -232,9 +236,14 @@ def main() -> None:
     # (OOM by 281 MB), fused_ffn_block_dw (856.7 — the 32 MB VMEM-resident
     # dW accumulators squeeze the matmul pipeline), fused_qkv_ln (821.2),
     # FE_TB 512/128 (865.3/853.0), scan unroll=2 (880.6).
+    # Round-5 additions on the same A/B protocol: attention_save_stats=v3
+    # (neutral alone, 960.5 vs 963.8) + attention_fused_qkv_bias (973.8 vs
+    # 962.9 — dbq/dbk/dbv as in-register row sums, no (B,T,D) cotangent
+    # re-reads), ADOPTED as the production default.
     config = Wav2Vec2Config.xls_r_300m(
         vocab_size=VOCAB, dtype=jnp.bfloat16, attention_impl="pallas",
-        attention_save_stats="v2",
+        attention_save_stats="v3",
+        attention_fused_qkv_bias=True,
         fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
         fused_ffn_block_dg=True,
         pos_conv_fold=True,

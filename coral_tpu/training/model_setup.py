@@ -124,6 +124,11 @@ class Wav2Vec2Setup:
 
         use_bf16 = bool(config.get("bf16_allowed", True))
         arch = self._infer_arch(model_cfg)
+        attention_impl = model_cfg.get("attention_impl", "pallas")
+        # False | true (v1) | "v2" | "v3" — see models/wav2vec2.py. Default
+        # v3 (round-5 hardware A/B: neutral vs v2 on its own, 960.5 vs
+        # 963.8, but it unlocks the in-kernel q/k/v biases below).
+        attention_save_stats = model_cfg.get("attention_save_stats", "v3")
         self.model_config = arch(
             vocab_size=self.tokenizer.vocab_size,
             dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
@@ -139,11 +144,8 @@ class Wav2Vec2Setup:
             mask_time_length=model_cfg.get("mask_time_length", 10),
             mask_feature_prob=model_cfg.get("mask_feature_prob", 0.5),
             mask_feature_length=model_cfg.get("mask_feature_length", 64),
-            attention_impl=model_cfg.get("attention_impl", "pallas"),
-            # False | true (v1) | "v2" — see models/wav2vec2.py. Default v2
-            # (round-4 A/B: 910.7 with save_attn_ctx_lse vs 906.5 without
-            # the stats; the backward rebuilds p = exp(s - lse) in one pass).
-            attention_save_stats=model_cfg.get("attention_save_stats", "v2"),
+            attention_impl=attention_impl,
+            attention_save_stats=attention_save_stats,
             attention_o_residual=bool(
                 model_cfg.get("attention_o_residual", False)
             ),
@@ -163,9 +165,17 @@ class Wav2Vec2Setup:
             # q/k/v projection biases applied inside the attention kernel
             # (requires attention_impl=pallas + attention_save_stats=v3;
             # the model raises on misconfiguration rather than silently
-            # falling back).
+            # falling back). Default ON whenever the prerequisites hold —
+            # round-5 hardware A/B at the adopted stack: 973.8 vs 962.9
+            # audio-s/s/chip (the backward emits dbq/dbk/dbv as in-register
+            # row sums instead of XLA re-reading three (B,T,D) cotangents).
             attention_fused_qkv_bias=bool(
-                model_cfg.get("attention_fused_qkv_bias", False)
+                model_cfg.get(
+                    "attention_fused_qkv_bias",
+                    attention_impl == "pallas"
+                    and attention_save_stats == "v3"
+                    and not bool(model_cfg.get("fused_qkv_ln", False)),
+                )
             ),
             # Whole-FFN block VJP (fc1 kernel + fc2 in one custom_vjp; the
             # remat replay DCEs the FFN forward): 892.9 vs 871.1 audio-s/s
@@ -471,10 +481,15 @@ class WhisperSetup:
             mask_feature_length=model_cfg.get("mask_feature_length", 64),
         )
         # Selective remat (save the matmul inputs; +7% measured on small) fits
-        # up to whisper-medium on one v5e; the 1280-wide large family needs
-        # full recompute. Override with model.remat_policy.
+        # up to whisper-medium on one v5e; the 1280-wide large family can't
+        # hold 7+ saved (B,T,D) tensors/layer, but save_flash_ctx (only the
+        # flash VJP residuals + attention contexts, ~2/layer) beats full
+        # recompute there — round-5 large-v3-turbo frontier on v5e:
+        # save_flash_ctx B=8 315.4 audio-s/s vs nothing_saveable B=8 297.7 /
+        # B=10 298.1 (save_matmul_inputs OOMs at B=6). Override with
+        # model.remat_policy.
         arch_default_policy = (
-            "nothing_saveable"
+            "save_flash_ctx"
             if self.model_config.d_model >= 1280
             else "save_matmul_inputs"
         )

@@ -37,7 +37,8 @@ def bench_model_config(vocab_size: int) -> Wav2Vec2Config:
     """The exact model-config construction bench.py measures."""
     return Wav2Vec2Config.xls_r_300m(
         vocab_size=vocab_size, dtype=jnp.bfloat16, attention_impl="pallas",
-        attention_save_stats="v2",
+        attention_save_stats="v3",
+        attention_fused_qkv_bias=True,
         fused_ffn=True, fused_ffn_ln=True, fused_ffn_block=True,
         fused_ffn_block_dg=True,
         pos_conv_fold=True,
