@@ -131,9 +131,10 @@ def main() -> None:
         "ln": args.ln,
         "grad_dtype": args.grad_dtype,
         "fused_ffn": (args.fused_ffn or args.fused_ffn_ln or args.ffn_block
-                      or args.ffn_block_fc2),
-        "fused_ffn_ln": args.fused_ffn_ln or args.ffn_block or args.ffn_block_fc2,
-        "ffn_block": args.ffn_block or args.ffn_block_fc2,
+                      or args.ffn_block_fc2 or args.ffn_block_dg),
+        "fused_ffn_ln": (args.fused_ffn_ln or args.ffn_block
+                         or args.ffn_block_fc2 or args.ffn_block_dg),
+        "ffn_block": args.ffn_block or args.ffn_block_fc2 or args.ffn_block_dg,
         "ffn_block_fc2": args.ffn_block_fc2,
         "ffn_block_dg": args.ffn_block_dg,
         "step_ms": round(elapsed / args.steps * 1000, 1),
