@@ -30,6 +30,7 @@ by ``tools/verify_kernels.py``).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -44,7 +45,11 @@ _VMEM_BUDGET = 10 * 1024 * 1024
 # whisper-small vs the cross kernel's 709 at S=1500). Blocking more rows
 # into one step makes each DMA bigger; block sets beyond the default 16 MB
 # scope get an explicit vmem_limit (v5e has 128 MB physical VMEM).
-_DECODE_BB_BUDGET = 48 * 1024 * 1024
+# Env-tunable for hardware A/Bs (MB of double-buffered k+v block set; 0
+# forces one batch row per grid step, the pre-blocking behaviour).
+_DECODE_BB_BUDGET = int(
+    float(os.environ.get("CORAL_DECODE_BB_MB", "48")) * 1024 * 1024
+)
 _COMPILER_PARAMS_BIG = pltpu.CompilerParams(
     vmem_limit_bytes=112 * 1024 * 1024
 )
