@@ -39,20 +39,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 _VMEM_BUDGET = 10 * 1024 * 1024
-# Batch rows per grid step: the kernels are DMA-bound (compute per token is
-# trivial), and one batch row per step reads the cache in chunks too small
-# to hit HBM streaming rate (measured 160 GB/s greedy / 343 GB/s beam=5 on
-# whisper-small vs the cross kernel's 709 at S=1500). Blocking more rows
-# into one step makes each DMA bigger; block sets beyond the default 16 MB
-# scope get an explicit vmem_limit (v5e has 128 MB physical VMEM).
-# Env-tunable for hardware A/Bs (MB of double-buffered k+v block set; 0
-# forces one batch row per grid step, the pre-blocking behaviour).
+# Batch rows per grid step. The round-5 batch-blocking experiment (multiple
+# rows per step so cache DMAs approach streaming rate) REGRESSED end-to-end
+# generate despite the higher per-DMA rates: whisper-small greedy 554.6 ms
+# at BB=1 vs 676.6 at the 48 MB budget, beam-5 843.7 vs 1055.3 (hardware
+# A/B, tools/r5h/i_runbook.sh) — coarser blocks serialize the pipeline's
+# head/tail and the raised VMEM scope changes Mosaic's scheduling. One row
+# per grid step is the measured winner; the budget stays env-tunable
+# (CORAL_DECODE_BB_MB, MB of double-buffered k+v block set) for re-runs.
 _DECODE_BB_BUDGET = int(
-    float(os.environ.get("CORAL_DECODE_BB_MB", "48")) * 1024 * 1024
+    float(os.environ.get("CORAL_DECODE_BB_MB", "0")) * 1024 * 1024
 )
 _COMPILER_PARAMS_BIG = pltpu.CompilerParams(
     vmem_limit_bytes=112 * 1024 * 1024
 )
+
+
+def _decode_compiler_params(block_set_bytes: int):
+    """Raise the VMEM scope only when the double-buffered block set needs
+    it: an unconditional 112 MB limit changes Mosaic's pipelining choices
+    even for small block sets (measured as part of the round-5 decode
+    batch-blocking regression)."""
+    if block_set_bytes > 16 * 1024 * 1024:
+        return _COMPILER_PARAMS_BIG
+    return None
 
 
 def _batch_block(B: int, slab_rows: int, HDg: int, itemsize: int) -> int:
@@ -202,7 +212,9 @@ def decode_self_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS_BIG,
+        compiler_params=_decode_compiler_params(
+            4 * BB * K * T * (HD // G) * cache_k.dtype.itemsize
+        ),
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), q3, k5, v5, onehot)
     return out.reshape(B * K, HD)
 
@@ -269,6 +281,8 @@ def decode_cross_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(q3.shape, q.dtype),
         interpret=interpret,
-        compiler_params=_COMPILER_PARAMS_BIG,
+        compiler_params=_decode_compiler_params(
+            4 * BB * S * (HD // G) * k.dtype.itemsize
+        ),
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), q3, k, v)
     return out.reshape(B * K, HD)
