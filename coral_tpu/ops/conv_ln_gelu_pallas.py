@@ -186,82 +186,106 @@ def _bwd_kernel(x_ref, halo_ref, w_ref, g_ref, beta_ref, xhat_ref, rstd_ref,
     beta = beta_ref[...].astype(jnp.float32)
     dy = dy_ref[0].astype(jnp.float32)
 
-    # Rows past n_rows in the ragged last block hold pad data (on real TPUs
-    # out-of-bounds block reads are unspecified, possibly NaN); their dx is
-    # clipped on write, but everything that feeds the dW/dvec accumulators —
-    # including 0 * NaN products — must be masked to true zeros.
-    row = t * dy.shape[0] + jax.lax.broadcasted_iota(jnp.int32, dy.shape, 0)
-    mask = row < n_rows
+    def block(masked: bool):
+        # Rows past n_rows in the ragged LAST block hold pad data (on real
+        # TPUs out-of-bounds block reads are unspecified, possibly NaN);
+        # their dx is clipped on write, but everything that feeds the
+        # dW/dvec accumulators — including 0 * NaN products — must be
+        # masked to true zeros. Interior blocks are complete by
+        # construction, so only the last block pays the ~10 masking passes
+        # per (TB, C) tile (measured ~4 ms/step across the FE at B=48:
+        # tools/probe_fe_bwd.py).
+        if masked:
+            row = t * dy.shape[0] + jax.lax.broadcasted_iota(
+                jnp.int32, dy.shape, 0
+            )
+            mask = row < n_rows
 
-    # Phase 1 (VPU, per sub-block): GELU + LayerNorm backward -> da rows.
-    # Phase 2 (MXU, per sub-block below): the dx matmuls. With _SPLIT > 1
-    # sub-block i's matmuls are independent of i+1's VPU phase, giving the
-    # scheduler dual-issue opportunities.
-    da_subs = []
-    for sl in _sub_slices(dy.shape[0], _SPLIT_BWD):
-        m_s = mask[sl]
-        xhat_s = jnp.where(m_s, xhat_ref[0, sl].astype(jnp.float32), 0.0)
-        rstd_s = jnp.where(m_s[:, :1], rstd_ref[0, sl], 0.0)
-        h = xhat_s * gamma + beta
-        # GELU backward: dh = dy * gelu'(h).
-        dh = jnp.where(m_s, dy[sl] * _dgelu(h), 0.0)
-        # LayerNorm backward (xhat saved pre-affine — no divide by gamma).
-        dvec_acc[0, :] += jnp.sum(dh * xhat_s, axis=0)   # dgamma
-        dvec_acc[1, :] += jnp.sum(dh, axis=0)            # dbeta
-        dn = dh * gamma
-        da_s = (
-            dn
-            - jnp.mean(dn, axis=-1, keepdims=True)
-            - xhat_s * jnp.mean(dn * xhat_s, axis=-1, keepdims=True)
-        ) * rstd_s
-        dvec_acc[2, :] += jnp.sum(da_s, axis=0)          # dbias
-        da_subs.append(da_s.astype(x_ref.dtype))
+        # Phase 1 (VPU, per sub-block): GELU + LayerNorm backward -> da.
+        # Phase 2 (MXU, per sub-block below): the dx matmuls. With
+        # _SPLIT > 1 sub-block i's matmuls are independent of i+1's VPU
+        # phase, giving the scheduler dual-issue opportunities.
+        da_subs = []
+        for sl in _sub_slices(dy.shape[0], _SPLIT_BWD):
+            xhat_s = xhat_ref[0, sl].astype(jnp.float32)
+            rstd_s = rstd_ref[0, sl]
+            if masked:
+                m_s = mask[sl]
+                xhat_s = jnp.where(m_s, xhat_s, 0.0)
+                rstd_s = jnp.where(m_s[:, :1], rstd_s, 0.0)
+            h = xhat_s * gamma + beta
+            # GELU backward: dh = dy * gelu'(h).
+            dh = dy[sl] * _dgelu(h)
+            if masked:
+                dh = jnp.where(m_s, dh, 0.0)
+            # LayerNorm backward (xhat saved pre-affine — no gamma divide).
+            dvec_acc[0, :] += jnp.sum(dh * xhat_s, axis=0)   # dgamma
+            dvec_acc[1, :] += jnp.sum(dh, axis=0)            # dbeta
+            dn = dh * gamma
+            da_s = (
+                dn
+                - jnp.mean(dn, axis=-1, keepdims=True)
+                - xhat_s * jnp.mean(dn * xhat_s, axis=-1, keepdims=True)
+            ) * rstd_s
+            dvec_acc[2, :] += jnp.sum(da_s, axis=0)          # dbias
+            da_subs.append(da_s.astype(x_ref.dtype))
 
-    # conv dx: even rows get da @ W0^T (+ prev-row da @ W2^T for k=3),
-    # odd rows get da @ W1^T.
-    mmT = lambda a, i: jax.lax.dot_general(  # noqa: E731
-        a, w_ref[i], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dab = jnp.concatenate(da_subs, axis=0) if len(da_subs) > 1 else da_subs[0]
-    d_even = (jnp.concatenate([mmT(a, 0) for a in da_subs], axis=0)
-              if len(da_subs) > 1 else mmT(dab, 0))
-    d_odd = (jnp.concatenate([mmT(a, 1) for a in da_subs], axis=0)
-             if len(da_subs) > 1 else mmT(dab, 1))
-    if k == 3:
-        dw2 = mmT(dab, 2)
-        # row 2i+2 of dx gets da[i] @ W2^T: within the slab that lands on
-        # even rows 1..TB-1; the last row spills into the next slab's row 0
-        # and is emitted as a halo row summed in XLA outside.
-        d_even = d_even + jnp.concatenate(
-            [jnp.zeros_like(dw2[:1]), dw2[:-1]], axis=0
+        # conv dx: even rows get da @ W0^T (+ prev-row da @ W2^T for k=3),
+        # odd rows get da @ W1^T.
+        mmT = lambda a, i: jax.lax.dot_general(  # noqa: E731
+            a, w_ref[i], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        dhalo_ref[0, 0] = dw2[-1:].astype(dhalo_ref.dtype)
-    dx_ref[0] = _interleave(
-        d_even.astype(dx_ref.dtype), d_odd.astype(dx_ref.dtype)
-    )
+        dab = (jnp.concatenate(da_subs, axis=0) if len(da_subs) > 1
+               else da_subs[0])
+        d_even = (jnp.concatenate([mmT(a, 0) for a in da_subs], axis=0)
+                  if len(da_subs) > 1 else mmT(dab, 0))
+        d_odd = (jnp.concatenate([mmT(a, 1) for a in da_subs], axis=0)
+                 if len(da_subs) > 1 else mmT(dab, 1))
+        if k == 3:
+            dw2 = mmT(dab, 2)
+            # row 2i+2 of dx gets da[i] @ W2^T: within the slab that lands
+            # on even rows 1..TB-1; the last row spills into the next
+            # slab's row 0, emitted as a halo row summed in XLA outside.
+            d_even = d_even + jnp.concatenate(
+                [jnp.zeros_like(dw2[:1]), dw2[:-1]], axis=0
+            )
+            dhalo_ref[0, 0] = dw2[-1:].astype(dhalo_ref.dtype)
+        dx_ref[0] = _interleave(
+            d_even.astype(dx_ref.dtype), d_odd.astype(dx_ref.dtype)
+        )
 
-    # conv dW: dW_tap = sum_t in_tap[t]^T da[t], accumulated over the grid.
-    # The input rows are masked too: x pad rows are unspecified on TPU and
-    # pair with dab rows that are zero, but 0 * NaN would still poison dW.
-    even, odd = _deinterleave(x_ref[0])
-    if k == 3:
-        # Shift before masking: row j's tap-2 input x[2j+2] sits in even row
-        # j+1, whose own output row may be invalid while row j is not.
-        even_next = jnp.concatenate([even[1:], halo_ref[0, :1]], axis=0)
-        even_next = jnp.where(mask, even_next, 0)
-    even = jnp.where(mask, even, 0)
-    odd = jnp.where(mask, odd, 0)
-    otT = lambda a, b: jax.lax.dot_general(  # noqa: E731
-        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    dw_acc[0] += otT(even, dab)
-    dw_acc[1] += otT(odd, dab)
-    if k == 3:
-        dw_acc[2] += otT(even_next, dab)
+        # conv dW: dW_tap = sum_t in_tap[t]^T da[t], grid-accumulated. The
+        # last block's input rows are masked too: x pad rows are
+        # unspecified on TPU and pair with dab rows that are zero, but
+        # 0 * NaN would still poison dW.
+        even, odd = _deinterleave(x_ref[0])
+        if k == 3:
+            # Shift before masking: row j's tap-2 input x[2j+2] sits in
+            # even row j+1, whose own output row may be invalid while row
+            # j is not.
+            even_next = jnp.concatenate([even[1:], halo_ref[0, :1]], axis=0)
+            if masked:
+                even_next = jnp.where(mask, even_next, 0)
+        if masked:
+            even = jnp.where(mask, even, 0)
+            odd = jnp.where(mask, odd, 0)
+        otT = lambda a, b: jax.lax.dot_general(  # noqa: E731
+            a, b, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dw_acc[0] += otT(even, dab)
+        dw_acc[1] += otT(odd, dab)
+        if k == 3:
+            dw_acc[2] += otT(even_next, dab)
+
+    @pl.when(t < t_last)
+    def _():
+        block(masked=False)
 
     @pl.when(t == t_last)
     def _():
+        block(masked=True)
         dw_ref[0] = dw_acc[...]
         dvec_ref[0] = dvec_acc[...]
 

@@ -184,43 +184,53 @@ def _bwd_ln_epilogue(dh, ln_b, xhat, rstd, w_ref, g_ref,
     """LN-fused backward tail: write dh and ln_out (the dW1 operand), fold
     dx (through the LayerNorm), and accumulate db/dgamma/dbeta rows."""
     t = pl.program_id(1)
+    t_last = pl.num_programs(1) - 1
 
     @pl.when(t == 0)
     def _():
         db_acc[...] = jnp.zeros_like(db_acc)
         dvec_acc[...] = jnp.zeros_like(dvec_acc)
 
-    # Ragged last block: pad rows hold unspecified data; dh/dx/ln writes are
-    # clipped, but everything feeding the accumulators must be true zeros
-    # (0 * NaN would poison them), including xhat from NaN pad input.
-    row = t * dh.shape[0] + jax.lax.broadcasted_iota(
-        jnp.int32, (dh.shape[0], 1), 0
-    )
-    mask = row < n_rows  # (TM, 1) row mask, broadcasts over F and D
-    dh = jnp.where(mask, dh, 0.0)
-    xhat = jnp.where(mask, xhat, 0.0)
-    dhb = dh.astype(dh_ref.dtype)
-    dh_ref[0] = dhb
-    ln_ref[0] = ln_b
-    db_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
+    def block(dh, xhat, masked: bool):
+        # Ragged LAST block: pad rows hold unspecified data; dh/dx/ln
+        # writes are clipped, but everything feeding the accumulators must
+        # be true zeros (0 * NaN would poison them), including xhat from
+        # NaN pad input. Interior blocks are complete by construction and
+        # skip the masking passes (the (TM, F) wheres are pure VPU cost).
+        if masked:
+            row = t * dh.shape[0] + jax.lax.broadcasted_iota(
+                jnp.int32, (dh.shape[0], 1), 0
+            )
+            mask = row < n_rows  # (TM, 1), broadcasts over F and D
+            dh = jnp.where(mask, dh, 0.0)
+            xhat = jnp.where(mask, xhat, 0.0)
+        dhb = dh.astype(dh_ref.dtype)
+        dh_ref[0] = dhb
+        ln_ref[0] = ln_b
+        db_acc[...] += jnp.sum(dh, axis=0, keepdims=True)
 
-    # d(ln_out), then the LayerNorm backward — all row-local.
-    dl = jax.lax.dot_general(
-        dhb, w_ref[...], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    dvec_acc[0, :] += jnp.sum(dl * xhat, axis=0)  # dgamma
-    dvec_acc[1, :] += jnp.sum(dl, axis=0)         # dbeta
-    dn = dl * g_ref[...].astype(jnp.float32)
-    dx = (
-        dn
-        - jnp.mean(dn, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dn * xhat, axis=-1, keepdims=True)
-    ) * rstd
-    dx_ref[0] = dx.astype(dx_ref.dtype)
+        # d(ln_out), then the LayerNorm backward — all row-local.
+        dl = jax.lax.dot_general(
+            dhb, w_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dvec_acc[0, :] += jnp.sum(dl * xhat, axis=0)  # dgamma
+        dvec_acc[1, :] += jnp.sum(dl, axis=0)         # dbeta
+        dn = dl * g_ref[...].astype(jnp.float32)
+        dx = (
+            dn
+            - jnp.mean(dn, axis=-1, keepdims=True)
+            - xhat * jnp.mean(dn * xhat, axis=-1, keepdims=True)
+        ) * rstd
+        dx_ref[0] = dx.astype(dx_ref.dtype)
 
-    @pl.when(t == pl.num_programs(1) - 1)
+    @pl.when(t < t_last)
     def _():
+        block(dh, xhat, masked=False)
+
+    @pl.when(t == t_last)
+    def _():
+        block(dh, xhat, masked=True)
         db_ref[0] = db_acc[...]
         dvec_ref[0] = dvec_acc[...]
 
