@@ -23,6 +23,7 @@ published checkpoints 1:1.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -775,6 +776,41 @@ def decode_step(
     return logits, (new_k, new_v)
 
 
+def _decode_phases(max_length: int) -> list[int]:
+    """Cache-length buckets for the phased decode loop.
+
+    The decode attention kernels stream the WHOLE self-attention cache
+    every step (a Pallas grid is static), so a single while_loop over a
+    max_length-sized cache reads ~2x the useful KV bytes on average
+    (useful fraction = (pos+1)/max_length). Instead the loop runs in
+    phases: the cache (and the beam slot mask) is allocated at the bucket
+    size, zero-padded up between phases, and each phase's while_loop stops
+    at its bucket bound. Semantics are identical — the set of attended
+    rows per step is unchanged (HF generation parity stays pinned by
+    tests/test_hf_generation_parity.py).
+
+    Buckets double from 64: [64, 128, ..., max_length]. Env
+    ``CORAL_DECODE_PHASED=0`` restores the single full-length loop (A/B).
+    """
+    if os.environ.get("CORAL_DECODE_PHASED", "1") == "0" or max_length <= 64:
+        return [max_length]
+    phases, t = [], 64
+    while t < max_length:
+        phases.append(t)
+        t *= 2
+    phases.append(max_length)
+    return phases
+
+
+def _pad_cache(cache: tuple[jnp.ndarray, jnp.ndarray], new_len: int):
+    k, v = cache
+    extra = new_len - k.shape[2]
+    if extra == 0:
+        return cache
+    pad = [(0, 0), (0, 0), (0, extra), (0, 0)]
+    return jnp.pad(k, pad), jnp.pad(v, pad)
+
+
 def greedy_generate(
     params: dict,
     config: WhisperConfig,
@@ -805,17 +841,21 @@ def greedy_generate(
     n_forced = forced_ids.shape[0]
     encoder_out = encode(params, config, input_features, deterministic=True)
     cross_kv = precompute_cross_kv(params, config, encoder_out)
-    cache = init_self_cache(config, B, max_length)
+    phases = _decode_phases(max_length)
+    cache = init_self_cache(config, B, phases[0])
 
     tokens0 = jnp.full((B,), forced_ids[0], dtype=jnp.int32)
     # Output buffer pre-filled with EOS; positions past early exit stay EOS.
     buffer0 = jnp.full((B, max_length), eos_id, dtype=jnp.int32)
     buffer0 = buffer0.at[:, 0].set(tokens0)
 
-    def cond(carry):
-        pos, _, _, _, finished = carry
-        # Early exit once every row has emitted EOS (after the forced prompt).
-        return (pos < max_length - 1) & ~jnp.all(finished)
+    def make_cond(end):
+        def cond(carry):
+            pos, _, _, _, finished = carry
+            # Early exit once every row emitted EOS (after the forced
+            # prompt); ``end`` bounds this phase's cache bucket.
+            return (pos < end) & ~jnp.all(finished)
+        return cond
 
     def body(carry):
         pos, tokens, buffer, cache, finished = carry
@@ -841,11 +881,13 @@ def greedy_generate(
         return pos + 1, next_token, buffer, cache, finished
 
     finished0 = jnp.zeros((B,), dtype=bool)
-    _, _, out, _, _ = jax.lax.while_loop(
-        cond, body, (jnp.asarray(0, jnp.int32), tokens0, buffer0, cache,
-                     finished0)
-    )
-    return out  # (B, max_length), EOS-padded
+    carry = (jnp.asarray(0, jnp.int32), tokens0, buffer0, cache, finished0)
+    for t_b in phases:
+        carry = (*carry[:3], _pad_cache(carry[3], t_b), carry[4])
+        carry = jax.lax.while_loop(
+            make_cond(min(t_b, max_length - 1)), body, carry
+        )
+    return carry[2]  # (B, max_length), EOS-padded
 
 
 # --------------------------------------------------------------------------------
@@ -1045,7 +1087,8 @@ def beam_generate(
 
     encoder_out = encode(params, config, input_features, deterministic=True)
     cross_kv = precompute_cross_kv(params, config, encoder_out)
-    cache0 = init_self_cache(config, B * K, max_length)
+    phases = _decode_phases(max_length)
+    cache0 = init_self_cache(config, B * K, phases[0])
 
     tokens0 = jnp.full((B * K,), forced_ids[0], dtype=jnp.int32)
     run_seq0 = jnp.full((B, K, max_length), eos_id, jnp.int32)
@@ -1065,30 +1108,35 @@ def beam_generate(
     )
     top_beam_mask = jnp.arange(K2) < K  # first K of the 2K candidates
 
-    def cond(carry):
-        pos = carry[0]
-        is_fin, unsat, hits = carry[6], carry[7], carry[8]
-        improvement_possible = jnp.any(unsat)
-        if early_stopping is True:
-            exists_open = ~jnp.all(is_fin)
-        else:
-            exists_open = jnp.asarray(True)
-        valid_continuations = ~jnp.all(hits)
-        return (
-            (pos < max_length - 1)
-            & improvement_possible & exists_open & valid_continuations
-        )
+    def make_cond(end):
+        def cond(carry):
+            pos = carry[0]
+            is_fin, unsat, hits = carry[6], carry[7], carry[8]
+            improvement_possible = jnp.any(unsat)
+            if early_stopping is True:
+                exists_open = ~jnp.all(is_fin)
+            else:
+                exists_open = jnp.asarray(True)
+            valid_continuations = ~jnp.all(hits)
+            return (
+                (pos < end)
+                & improvement_possible & exists_open & valid_continuations
+            )
+        return cond
 
     def body(carry):
         (pos, tokens, run_seq, run_scores, fin_seq, fin_scores,
          is_fin, unsat, hits, anc, cache) = carry
         # Slot-selection mask from the ancestor chains: beam k of batch b
         # may attend slot j at position t iff its history there lives in j
-        # (and t <= pos). Layer-independent — built once per step.
+        # (and t <= pos). Layer-independent — built once per step. Sized
+        # to the current phase's cache bucket (``_decode_phases``), as is
+        # everything the decode kernels stream per step.
+        t_b = cache[0].shape[2]
         onehot = (
-            (anc[:, :, None, :] == jnp.arange(K)[None, None, :, None])
-            & (jnp.arange(max_length)[None, None, None, :] <= pos)
-        ).reshape(B, K, K * max_length).astype(jnp.float32)
+            (anc[:, :, None, :t_b] == jnp.arange(K)[None, None, :, None])
+            & (jnp.arange(t_b)[None, None, None, :] <= pos)
+        ).reshape(B, K, K * t_b).astype(jnp.float32)
         logits, new_cache = decode_step(
             params, config, tokens, pos, cache, cross_kv, onehot
         )  # (B*K, V)
@@ -1221,10 +1269,12 @@ def beam_generate(
         return (pos + 1, tokens_n, run_seq_n, run_scores_n, fin_seq_n,
                 fin_scores_n, is_fin_n, unsat_n, hits_n, anc_n, new_cache)
 
-    final = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(0, jnp.int32), tokens0, run_seq0, run_scores0,
-         fin_seq0, fin_scores0, is_fin0, unsat0, hits0, anc0, cache0),
-    )
+    final = (jnp.asarray(0, jnp.int32), tokens0, run_seq0, run_scores0,
+             fin_seq0, fin_scores0, is_fin0, unsat0, hits0, anc0, cache0)
+    for t_b in phases:
+        final = (*final[:10], _pad_cache(final[10], t_b))
+        final = jax.lax.while_loop(
+            make_cond(min(t_b, max_length - 1)), body, final
+        )
     # The finished store is sorted by score descending; slot 0 is the best.
     return final[4][:, 0, :]

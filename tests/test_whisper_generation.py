@@ -155,3 +155,26 @@ def test_segments_trailing_open_segment():
     ids = [TS_BEGIN + 1, 20, 21]  # never closed, no EOS
     segs = segments_from_tokens(ids, TS_BEGIN, EOS)
     assert segs == [(pytest.approx(0.02), pytest.approx(0.02), [20, 21])]
+
+
+def test_phased_decode_matches_single_phase(setup, monkeypatch):
+    """The bucketed (phased) decode loop is a pure execution-schedule change:
+    greedy and beam outputs must be bit-identical to the single full-length
+    while_loop (CORAL_DECODE_PHASED=0). max_length=80 spans two buckets
+    (64, 80); the short-test fixtures elsewhere stay single-phase, so this
+    is the only coverage of the phase-boundary cache pad."""
+    cfg, params, feats, forced = setup
+    kw = dict(max_length=80, eos_id=EOS)
+
+    monkeypatch.setenv("CORAL_DECODE_PHASED", "0")
+    g_ref = np.asarray(greedy_generate(params, cfg, feats, forced, **kw))
+    b_ref = np.asarray(
+        beam_generate(params, cfg, feats, forced, num_beams=3, **kw)
+    )
+    monkeypatch.delenv("CORAL_DECODE_PHASED")
+    g_ph = np.asarray(greedy_generate(params, cfg, feats, forced, **kw))
+    b_ph = np.asarray(
+        beam_generate(params, cfg, feats, forced, num_beams=3, **kw)
+    )
+    np.testing.assert_array_equal(g_ref, g_ph)
+    np.testing.assert_array_equal(b_ref, b_ph)
